@@ -1,0 +1,224 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Flags of the reference's `kg-entities` CLI (`kg-entities.rs:17-45`). */
+final case class EntityIndexConfig(
+    ignoreTypes: Boolean = false,
+    keepMostCommonNonUnique: Boolean = true,
+    checkForPopularAliases: Boolean = true)
+
+/** Builds the natural-language entity index: `(surface, info?, qid, kind)`.
+  *
+  * This is a Spark-first re-expression of the sequential resolution cascade in
+  * `/root/reference/src/bin/kg-entities.rs:99-313` (E1–E6 in SURVEY.md §2.6).
+  * The reference claims `(surface, info?)` slots by iterating hash maps in
+  * explicit popularity orders; every "first writer wins" there is provably a
+  * per-key top-1, so the whole cascade becomes windows + anti-joins:
+  *
+  *  - E1  unique plain labels            → group-size-1 filter + override check
+  *  - E2  label+info candidate build     → info column + anti-join vs E1 surfaces
+  *  - E3/E4 per-(label,info) resolution  → rep = top-1 by (count desc, seq desc);
+  *        the reference's sequential O1-ordered claiming of the `(label, None)`
+  *        slot (`kg-entities.rs:224-268`) collapses to: the FIRST group in O1
+  *        order with no popular-alias override takes the plain slot, all other
+  *        groups take `(label, Some(info))` — a running-sum window per label.
+  *  - E5  alias promotion                → two rounds of anti-join + per-surface
+  *        top-1 by (count desc, qid asc), mirroring the popularity iteration
+  *        order of `kg-entities.rs:295-298`.
+  *
+  * All cross-group interaction in the Rust code happens through keys that share
+  * the same `label` string (or, for E2's rendered-surface probe, through the
+  * fully-materialized E1 set), so the encoding is exact — verified against an
+  * in-process transcription of the Rust loops (test `ReferenceOracle`).
+  *
+  * Scale notes: no driver-side state; the only shuffles are the label/alias
+  * hash-partitions and the window sorts. The dictionary self-join for type
+  * resolution (J2) reduces the right side to the distinct type ids first
+  * (types are a tiny fraction of entities), so it broadcasts.
+  */
+object EntityIndexBuilder {
+
+  import graft.model.IndexKind._
+
+  /** J2 (`kg-entities.rs:144-151`): per entity sort its `types` by the type
+    * entity's own count (ascending, stable on input position), map ids →
+    * labels dropping unknown types; `info` = last type label, else desc
+    * (`lib.rs:63-72`).
+    */
+  def withInfo(entities: DataFrame, cfg: EntityIndexConfig): DataFrame = {
+    if (cfg.ignoreTypes)
+      return entities.withColumn("info", col("desc"))
+    val typeIds = entities
+      .select(explode(col("types")).as("tid")).distinct()
+    // dictionary rows for ids that are actually used as types — small, so
+    // broadcast it back onto the exploded fact side.
+    val typeInfo = entities
+      .join(typeIds, entities("qid") === typeIds("tid"))
+      .select(col("tid"), col("label").as("t_label"), col("count").as("t_count"))
+    val exploded = entities
+      .select(col("qid").as("e_qid"), posexplode(col("types")).as(Seq("t_pos", "tid")))
+      .join(broadcast(typeInfo), Seq("tid"), "left")
+      .withColumn("t_count", coalesce(col("t_count"), lit(0L)))
+    val resolved = exploded
+      .groupBy(col("e_qid"))
+      .agg(sort_array(collect_list(struct(col("t_count"), col("t_pos"), col("t_label"))))
+        .as("sorted"))
+      .withColumn(
+        "type_labels",
+        filter(transform(col("sorted"), s => s.getField("t_label")), x => x.isNotNull))
+      // try_element_at: ANSI-safe on empty arrays (all types dangling)
+      .select(col("e_qid"), try_element_at(col("type_labels"), lit(-1)).as("last_type"))
+    entities
+      .join(resolved, entities("qid") === resolved("e_qid"), "left")
+      .withColumn("info", coalesce(col("last_type"), col("desc")))
+      .drop("e_qid", "last_type")
+  }
+
+  /** A2+A4 (`kg-entities.rs:129-136,156`): aliases held by exactly one entity
+    * occurrence. Occurrences are NOT deduped per entity — an alias listed
+    * twice by one entity is ambiguous in the reference too.
+    */
+  def uniqueAliases(entities: DataFrame): DataFrame =
+    entities
+      .select(col("qid").as("a_qid"), col("count").as("a_count"),
+        explode(col("aliases")).as("a_surface"))
+      .groupBy(col("a_surface"))
+      .agg(count(lit(1)).as("a_n"),
+        max(struct(col("a_qid"), col("a_count"))).as("holder"))
+      .filter(col("a_n") <= 1)
+      .select(col("a_surface"), col("holder.a_qid").as("a_qid"),
+        col("holder.a_count").as("a_count"))
+
+  /** J3 (`kg-entities.rs:158-175`): `check_for_more_popular_alias(label, ent)`
+    * — true iff some OTHER entity holds `surfaceCol` as a globally-unique
+    * alias with a strictly higher count. Adds boolean column `override`.
+    */
+  private def withOverride(
+      df: DataFrame, uniqAlias: DataFrame, surfaceCol: String,
+      cfg: EntityIndexConfig): DataFrame = {
+    if (!cfg.checkForPopularAliases) return df.withColumn("override", lit(false))
+    df.join(uniqAlias, df(surfaceCol) === uniqAlias("a_surface"), "left")
+      .withColumn(
+        "override",
+        col("a_qid").isNotNull && col("a_qid") =!= col("qid") &&
+          col("a_count") > col("count"))
+      .drop("a_surface", "a_qid", "a_count")
+  }
+
+  /** Full cascade. Input: canonical entity schema
+    * `(qid, label, desc, count, types, aliases, seq)` (unique qids — asserted
+    * upstream per `kg-entities.rs:140`). Output: `(surface, info, id, kind)`.
+    */
+  def build(entities: DataFrame, cfg: EntityIndexConfig = EntityIndexConfig()): DataFrame = {
+    val withInf = withInfo(entities, cfg)
+    val uniq = uniqueAliases(entities)
+
+    val wLabel = Window.partitionBy(col("label"))
+    val cand = withOverride(
+      withInf.withColumn("grp_n", count(lit(1)).over(wLabel)), uniq, "label", cfg)
+      .persist()
+
+    // ---- E1: unique plain labels (kg-entities.rs:186-196) ----
+    val e1 = cand
+      .filter(col("grp_n") === 1 && !col("override"))
+      .select(col("label").as("surface"), lit(null: String).as("info"),
+        col("qid").as("id"), lit(Label).as("kind"))
+
+    // ---- E2: label+info candidates (kg-entities.rs:197-213) ----
+    // groups that were NOT resolved by E1, with non-empty info, whose rendered
+    // "label (info)" does not collide with an E1 plain label.
+    val e2 = cand
+      .filter(col("grp_n") > 1 || col("override"))
+      .filter(col("info") =!= "")
+      .withColumn("rendered", concat(col("label"), lit(" ("), col("info"), lit(")")))
+      .join(e1.select(col("surface").as("e1_surface")),
+        col("rendered") === col("e1_surface"), "left_anti")
+
+    // ---- E3/E4: per-(label,info) group resolution (kg-entities.rs:224-268) ----
+    // representative of each group: highest count, ties → LAST input row
+    // (Rust stable sort + pop, kg-entities.rs:249-251).
+    val wGroup = Window.partitionBy(col("label"), col("info"))
+    val wGroupOrd = wGroup.orderBy(col("count").desc, col("seq").desc)
+    val groups0 = e2
+      .withColumn("g_size", count(lit(1)).over(wGroup))
+      .withColumn("g_max", max(col("count")).over(wGroup))
+      .withColumn("rn", row_number().over(wGroupOrd))
+      .filter(col("rn") === 1)
+    // !keepMostCommonNonUnique: multi-entity groups are dropped entirely
+    // (only counted as ents_left stats in the reference).
+    val groups =
+      if (cfg.keepMostCommonNonUnique) groups0
+      else groups0.filter(col("g_size") === 1)
+    // The plain (label, None) slot: never taken by E1 for these labels (E1 and
+    // E2 routing are mutually exclusive per label), so the first group in O1
+    // order — (max count desc, size asc, key asc) per kg-entities.rs:224-231 —
+    // whose representative has no override claims it; the rest get LabelInfo.
+    // NOTE: override here is the representative entity's override, re-checked
+    // at claim time in the reference (kg-entities.rs:235,252).
+    val wO1 = Window
+      .partitionBy(col("label"))
+      .orderBy(col("g_max").desc, col("g_size").asc, col("info").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e34 = groups
+      .withColumn("eligible", !col("override"))
+      .withColumn("cum_eligible", sum(when(col("eligible"), 1).otherwise(0)).over(wO1))
+      .withColumn("is_plain", col("eligible") && col("cum_eligible") === 1)
+    val e3Plain = e34
+      .filter(col("is_plain"))
+      .select(col("label").as("surface"), lit(null: String).as("info"),
+        col("qid").as("id"), lit(Label).as("kind"))
+    val e34Info = e34
+      .filter(!col("is_plain"))
+      .select(col("label").as("surface"), col("info"),
+        col("qid").as("id"), lit(LabelInfo).as("kind"))
+
+    // ---- E5: alias promotion (kg-entities.rs:293-313) ----
+    // Entities iterate in (count desc, qid asc) order; each alias occurrence
+    // claims (alias, None), falling back to (alias, info). An alias listed
+    // twice by one entity can claim BOTH slots in the reference, so we track
+    // per-(qid, alias) occurrence counts instead of deduping.
+    val takenPlain = e1.select(col("surface"))
+      .union(e3Plain.select(col("surface")))
+    val takenPair = e34Info.select(col("surface"), col("info"))
+    val aliasCand = withInf
+      .select(col("qid"), col("count"), col("info"), explode(col("aliases")).as("alias"))
+      .groupBy(col("qid"), col("alias"))
+      .agg(first(col("count")).as("count"), first(col("info")).as("info"),
+        count(lit(1)).as("occ_n"))
+      .persist()
+    val wAlias = Window.partitionBy(col("alias"))
+      .orderBy(col("count").desc, col("qid").asc)
+    val plainWinners = aliasCand
+      .join(takenPlain, aliasCand("alias") === takenPlain("surface"), "left_anti")
+      .withColumn("rn", row_number().over(wAlias))
+      .filter(col("rn") === 1)
+      .persist()
+    val e5Plain = plainWinners
+      .select(col("alias").as("surface"), lit(null: String).as("info"),
+        col("qid").as("id"), lit(Alias).as("kind"))
+    // info-round participants: every occurrence that did not itself take the
+    // plain slot — i.e. all candidates except plain winners whose alias was
+    // listed only once by that entity.
+    val wAliasInfo = Window.partitionBy(col("alias"), col("info"))
+      .orderBy(col("count").desc, col("qid").asc)
+    val e5Info = aliasCand
+      .join(plainWinners
+          .filter(col("occ_n") === 1)
+          .select(col("alias").as("w_alias"), col("qid").as("w_qid")),
+        aliasCand("alias") === col("w_alias") && aliasCand("qid") === col("w_qid"),
+        "left_anti")
+      .filter(col("info") =!= "")
+      .join(takenPair,
+        aliasCand("alias") === takenPair("surface") &&
+          aliasCand("info") === takenPair("info"), "left_anti")
+      .withColumn("rn", row_number().over(wAliasInfo))
+      .filter(col("rn") === 1)
+      .select(col("alias").as("surface"), col("info"),
+        col("qid").as("id"), lit(AliasInfo).as("kind"))
+
+    e1.union(e3Plain).union(e34Info).union(e5Plain).union(e5Info)
+  }
+}
