@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{EntityIndexBuilder, EntityIndexConfig, PropertyIndexBuilder}
+import graft.io.ManifestStore
+
+/** End-to-end transcript→KG flow (BASELINE.json north_star):
+  *
+  *   dictionaries (stage 1, reference semantics)  →  broadcast
+  *   → mention detection over transcripts (window by conv_id / turn_idx)
+  *   → salted link-score aggregation
+  *   → per-turn triple extraction
+  *   → connected-components canonicalization (redirect + co-reference edges)
+  *   → node/edge materialization (partitioned parquet + manifests)
+  *
+  * Every stage is a pure DataFrame→DataFrame function; `run` wires them
+  * through a [[ManifestStore]] so the job resumes idempotently from the last
+  * committed stage.
+  */
+object KgPipeline {
+
+  final case class Result(
+      entityIndex: DataFrame, propertyIndex: DataFrame, mentions: DataFrame,
+      linkScores: DataFrame, triples: DataFrame, nodes: DataFrame,
+      edges: DataFrame, metrics: DataFrame)
+
+  /** Rendered entity+property dictionary for the linker, with popularity
+    * weights carried from the dumps.
+    */
+  def dictionary(entityIndex: DataFrame, entities: DataFrame,
+      propertyIndex: DataFrame, properties: DataFrame): DataFrame = {
+    val entW = entities.select(col("qid").as("id"), col("count").as("weight"))
+    val entDict = Mentions.renderSurfaces(
+      entityIndex.join(entW, Seq("id"), "left")
+        .withColumn("weight", coalesce(col("weight"), lit(1L))),
+      isProp = false)
+    val propW = properties.select(col("pid").as("id"), col("count").as("weight"))
+    val propDict = Mentions.renderSurfaces(
+      propertyIndex
+        .withColumn("info", lit(null: String))
+        .select(col("surface"), col("info"), col("pid").as("id"), col("kind"))
+        .join(propW, Seq("id"), "left")
+        .withColumn("weight", coalesce(col("weight"), lit(1L))),
+      isProp = true)
+    // cross-type rendered collisions (an entity surface equal to a property
+    // surface) resolve deterministically: entity first, then kind, then id.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("surface"))
+      .orderBy(col("is_prop").asc, col("kind").asc, col("id").asc)
+    entDict.unionByName(propDict)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Co-reference + redirect edges for canonicalization: redirect pairs
+    * connect an entity with its redirect targets; mention co-reference
+    * connects ids that share an identical surface within one conversation
+    * (cheap consecutive-pair linking — CC closes the chain).
+    */
+  def coreferenceEdges(mentions: DataFrame, redirects: DataFrame): DataFrame = {
+    val redirectEdges = redirects
+      .select(col("qid").as("u"), explode(col("redirects")).as("v"))
+    val surfaceEdges = mentions
+      .filter(!col("is_prop"))
+      .groupBy(col("conv_id"), col("surface"))
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("u"), array_min(col("ids")).as("v"))
+      .filter(col("u") =!= col("v"))
+    redirectEdges.unionByName(surfaceEdges).distinct()
+  }
+
+  def run(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      entities: DataFrame,
+      properties: DataFrame,
+      redirects: DataFrame,
+      outDir: String,
+      cfg: EntityIndexConfig = EntityIndexConfig(),
+      saltN: Int = 16): Result = {
+
+    val store = new ManifestStore(spark, outDir)
+    val t0 = System.currentTimeMillis()
+    val metricsRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Boolean)]
+    def timed(stage: String, fp: String, partitionBy: Seq[String] = Nil)(f: => DataFrame): DataFrame = {
+      val s = System.currentTimeMillis()
+      val (df, resumed) = store.runStage(stage, fp, partitionBy)(f)
+      metricsRows += ((stage, store.rowCountOf(stage).getOrElse(-1L),
+        System.currentTimeMillis() - s, resumed))
+      df
+    }
+
+    // fingerprints chain stage → stage (lineage); config participates so a
+    // flag change invalidates downstream stages.
+    val baseFp = s"cfg=$cfg;saltN=$saltN"
+
+    val entityIndex = timed("entity_index", s"$baseFp;src=entities") {
+      EntityIndexBuilder.build(entities, cfg)
+    }
+    val propertyIndex = timed("property_index", s"$baseFp;src=properties") {
+      PropertyIndexBuilder.build(properties)
+    }
+    val dict = dictionary(entityIndex, entities, propertyIndex, properties)
+
+    val mentions = timed("mentions", s"$baseFp;after=indices") {
+      Mentions.detect(transcripts, dict)
+    }
+    val scores = timed("link_scores", s"$baseFp;after=mentions") {
+      SaltedAgg.linkScores(mentions, saltN)
+    }
+    val triples = timed("triples", s"$baseFp;after=mentions") {
+      Triples.extract(mentions)
+    }
+    val canon = timed("canonical_map", s"$baseFp;after=triples") {
+      Canonicalize.connectedComponents(coreferenceEdges(mentions, redirects))
+    }
+    val canonTriples = timed("triples_canonical", s"$baseFp;after=canonical_map") {
+      Canonicalize.canonicalizeTriples(triples, canon)
+    }
+    val nodes = timed("nodes", s"$baseFp;after=triples_canonical") {
+      val ids = canonTriples.select(col("subj").as("id"))
+        .union(canonTriples.select(col("obj").as("id"))).distinct()
+      ids.join(entities.select(col("qid").as("id"), col("label"), col("count")),
+        Seq("id"), "left")
+    }
+    val edges = timed("edges", s"$baseFp;after=triples_canonical") {
+      canonTriples.groupBy(col("subj").as("src"), col("pred").as("pid"),
+        col("obj").as("dst"))
+        .agg(count(lit(1)).as("weight"), sum(col("score")).as("score"))
+    }
+
+    import spark.implicits._
+    val metrics = metricsRows.toSeq
+      .map { case (st, rows, ms, res) => (st, rows, ms, res, System.currentTimeMillis() - t0) }
+      .toDF("stage", "rows_out", "wall_ms", "resumed", "total_ms")
+    Result(entityIndex, propertyIndex, mentions, scores, triples, nodes, edges, metrics)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-phase salted aggregation for skewed keys (north rule: "skewed
+  * high-frequency entities (head QIDs) are salted before the link-score
+  * aggregation shuffle").
+  *
+  * AQE's skew handling splits skewed JOIN partitions but does nothing for
+  * aggregation skew; partial (map-side) aggregation already bounds the damage
+  * for algebraic aggregates, but when upstream partitioning is pathological
+  * (one producer partition per head key) the explicit salt guarantees the
+  * first shuffle fans a head key out over `saltN` reducers. Phase 1 groups by
+  * (key, salt); phase 2 re-aggregates by key.
+  *
+  * Only algebraic (re-aggregatable) measures are supported: sum / count /
+  * min / max — exactly what link scoring needs.
+  */
+object SaltedAgg {
+
+  final case class Measure(colName: String, fn: String, as: String)
+
+  def apply(df: DataFrame, key: Seq[String], measures: Seq[Measure], saltN: Int): DataFrame = {
+    require(saltN >= 1)
+    def m(fn: String, c: Column): Column = fn match {
+      case "sum" => sum(c)
+      case "count" => count(c)
+      case "min" => min(c)
+      case "max" => max(c)
+    }
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(saltN.toLong)))
+    val phase1 = salted
+      .groupBy((key.map(col) :+ col("_salt")): _*)
+      .agg(m(measures.head.fn, col(measures.head.colName)).as(measures.head.as),
+        measures.tail.map(x => m(x.fn, col(x.colName)).as(x.as)): _*)
+    // phase 2: counts re-aggregate by SUM, everything else by itself
+    def reFn(fn: String): String = if (fn == "count") "sum" else fn
+    phase1
+      .groupBy(key.map(col): _*)
+      .agg(m(reFn(measures.head.fn), col(measures.head.as)).as(measures.head.as),
+        measures.tail.map(x => m(reFn(x.fn), col(x.as)).as(x.as)): _*)
+  }
+
+  /** Link-score aggregation: per linked id, mention count + summed score —
+    * the head-QID-skewed shuffle of the pipeline.
+    */
+  def linkScores(mentions: DataFrame, saltN: Int = 16): DataFrame =
+    apply(mentions, Seq("id"),
+      Seq(Measure("id", "count", "n_mentions"), Measure("score", "sum", "total_score")),
+      saltN)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Canonicalize
+
+/** Large-star/small-star CC vs a plain union-find oracle on adversarial
+  * shapes: long chains (worst case for naive propagation), stars, cycles,
+  * random graphs.
+  */
+class CanonicalizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def unionFind(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    // canonical = min member of component
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  def runCC(edges: Seq[(String, String)]): Map[String, String] = {
+    import spark.implicits._
+    Canonicalize.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("chain of 60 nodes collapses to one component") {
+    val edges = (0 until 59).map(i => (f"N$i%03d", f"N${i + 1}%03d"))
+    val got = runCC(edges)
+    assert(got.values.toSet == Set("N000"))
+    assert(got.keySet == (0 until 60).map(i => f"N$i%03d").toSet)
+  }
+
+  test("random graphs match union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = (1 to n).map { _ =>
+        (s"Q${rnd.nextInt(n)}", s"Q${rnd.nextInt(n)}")
+      }.filter(e => e._1 != e._2)
+      val got = runCC(edges)
+      val want = unionFind(edges)
+      assert(got == want, s"trial=$trial edges=$edges")
+    }
+  }
+
+  test("cycle + disjoint star") {
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val star = Seq(("hub", "s1"), ("hub", "s2"), ("hub", "s3"))
+    val got = runCC(cyc ++ star)
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a")
+    assert(got("s1") == "hub" && got("s2") == "hub" && got("s3") == "hub")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Mentions, SaltedAgg, Triples}
+
+class MentionTripleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def dict(rows: (String, String, Boolean, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("surface", "id", "is_prop", "weight")
+      .withColumn("kind", org.apache.spark.sql.functions.lit(0))
+  }
+
+  def turns(rows: (String, Int, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("conv_id", "turn_idx", "text")
+  }
+
+  test("longest-match dominance: bigram beats contained unigrams") {
+    val d = dict(
+      ("new york", "Q60", false, 100L),
+      ("york", "Q100", false, 10L),
+      ("new", "Q200", false, 5L))
+    val t = turns(("c1", 0, "i love new york a lot"))
+    val got = Mentions.detect(t, d)
+      .collect().map(r => (r.getAs[Int]("span_start"), r.getAs[Int]("span_end"),
+        r.getAs[String]("id"))).toSet
+    assert(got == Set((2, 4, "Q60")))
+  }
+
+  test("non-overlapping matches all survive; property+entity spans coexist") {
+    val d = dict(
+      ("paris", "Q90", false, 50L),
+      ("borders", "P47", true, 20L),
+      ("berlin", "Q64", false, 40L))
+    val t = turns(("c1", 0, "paris borders berlin today"))
+    val got = Mentions.detect(t, d)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Boolean]("is_prop"))).toSet
+    assert(got == Set(("Q90", false), ("P47", true), ("Q64", false)))
+  }
+
+  test("triple extraction: subj before pred (with previous-turn fallback), obj after in same turn") {
+    val d = dict(
+      ("paris", "Q90", false, 50L),
+      ("borders", "P47", true, 20L),
+      ("berlin", "Q64", false, 40L),
+      ("tokyo", "Q1490", false, 30L))
+    val t = turns(
+      ("c1", 0, "paris borders berlin"),
+      ("c1", 1, "it also borders tokyo"), // subj falls back to last entity: berlin
+      ("c1", 2, "borders tokyo"), // subj = tokyo (turn 1), obj = tokyo
+      ("c2", 0, "borders paris")) // no previous entity → no triple
+    val mentions = Mentions.detect(t, d)
+    val got = Triples.extract(mentions)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))).toSet
+    assert(got == Set(
+      ("Q90", "P47", "Q64", "c1", 0),
+      ("Q64", "P47", "Q1490", "c1", 1),
+      ("Q1490", "P47", "Q1490", "c1", 2)))
+  }
+
+  test("salted aggregation == plain aggregation (skewed keys)") {
+    import spark.implicits._
+    val rows = (1 to 2000).map { i =>
+      val id = if (i % 3 == 0) "HEAD" else s"Q${i % 50}"
+      (id, i.toDouble / 10)
+    }
+    val df = rows.toDF("id", "score")
+    val salted = SaltedAgg.linkScores(df, saltN = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1000)))
+      .toSet
+    val plain = df.groupBy("id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("score").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1000)))
+      .toSet
+    assert(salted == plain)
+  }
+
+  test("rendered surface collisions resolve by kind priority") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same rendered surface "apple (fruit)": a LabelInfo entry and an
+    // AliasInfo entry → Label wins
+    val idx = Seq(
+      ("apple", Some("fruit"), "Q1", 1),
+      ("apple", Some("fruit2"), "Q3", 1),
+      ("apple (fruit)", None: Option[String], "Q2", 3))
+      .toDF("surface", "info", "id", "kind")
+    val got = Mentions.renderSurfaces(idx, isProp = false)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("apple (fruit)", "Q1"), ("apple (fruit2)", "Q3")))
+  }
+}

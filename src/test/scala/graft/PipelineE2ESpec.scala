@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.EntityIndexConfig
+import graft.model.{RawEntity, RawProperty}
+import graft.oracle.ReferenceOracle
+import graft.pipeline.KgPipeline
+import graft.synth.Synth
+
+/** End-to-end: synthesized transcripts → dictionaries → mentions → triples →
+  * canonicalization, checked against a full plain-Scala mirror of the flow
+  * built on the reference oracle (north rule: P/R ≥ 0.95 vs reference
+  * label-index resolution; per-turn text equality; idempotent resume).
+  */
+class PipelineE2ESpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val nEnts = 200L
+  val mProps = 20L
+  val convs = 30L
+  val turnsPerConv = 6
+
+  def collectEntities(): Seq[RawEntity] = {
+    Synth.entityDump(spark, nEnts).collect().map { r =>
+      RawEntity(r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getSeq[String](4), r.getSeq[String](5), r.getLong(6))
+    }.toSeq
+  }
+  def collectProps(): Seq[RawProperty] = {
+    Synth.propertyDump(spark, mProps).collect().map { r =>
+      RawProperty(r.getString(0), r.getString(1), r.getLong(2),
+        r.getSeq[String](3), r.getSeq[String](4), r.getLong(5))
+    }.toSeq
+  }
+
+  /** Plain-Scala mirror of dictionary render + mention detection (dominance
+    * rule) + triple extraction, over the reference-oracle index.
+    */
+  def oracleTriples(
+      ents: Seq[RawEntity], props: Seq[RawProperty],
+      turns: Seq[(String, Int, String)]): Set[(String, String, String, String, Int)] = {
+    val entIdx = ReferenceOracle.entityIndex(ents, ReferenceOracle.Config())
+    val propIdx = ReferenceOracle.propertyIndex(props)
+    val entW = ents.map(e => e.qid -> e.count).toMap
+    val propW = props.map(p => p.pid -> p.count).toMap
+    // rendered surfaces, collision → (kind asc, id asc)
+    val rendered = (entIdx.toSeq.map(e =>
+      (e.info.map(i => s"${e.surface} ($i)").getOrElse(e.surface), e.id, e.kind, false,
+        entW.getOrElse(e.id, 1L))) ++
+      propIdx.toSeq.map { case (s, pid, k) => (s, pid, k, true, propW.getOrElse(pid, 1L)) })
+    val dict = rendered.groupBy(_._1).map { case (s, cands) =>
+      // same cross-collision rule as KgPipeline.dictionary: entity < property,
+      // then kind, then id
+      val best = cands.minBy(c => (if (c._4) 1 else 0, c._3, c._2))
+      s -> best
+    }
+    val maxN = 4
+    val triples = scala.collection.mutable.Set.empty[(String, String, String, String, Int)]
+    turns.groupBy(_._1).foreach { case (conv, ts) =>
+      var lastEnt: Option[String] = None
+      ts.sortBy(_._2).foreach { case (_, turnIdx, text) =>
+        val toks = text.split("\\s+")
+        val all = for {
+          n <- 1 to maxN
+          i <- 0 to toks.length - n
+          gram = toks.slice(i, i + n).mkString(" ")
+          if dict.contains(gram)
+        } yield (i, i + n, dict(gram))
+        // dominance filter
+        val kept = all.filter { case (s, e, _) =>
+          !all.exists { case (s2, e2, _) =>
+            (s2, e2) != (s, e) && s2 < e && s < e2 &&
+              ((e2 - s2) > (e - s) || ((e2 - s2) == (e - s) && s2 < s))
+          }
+        }.sortBy(m => (m._1, m._2, m._3._2))
+        // walk in span order; subj = last entity seen (any earlier turn ok)
+        kept.zipWithIndex.foreach { case ((_, _, m), pos) =>
+          if (m._4) { // property
+            val subj = {
+              // entities before this mention in this turn, else carried state
+              val before = kept.take(pos).filter(!_._3._4).lastOption.map(_._3._2)
+              before.orElse(lastEnt)
+            }
+            val obj = kept.drop(pos + 1).find(!_._3._4).map(_._3._2)
+            (subj, obj) match {
+              case (Some(s), Some(o)) => triples += ((s, m._2, o, conv, turnIdx))
+              case _ =>
+            }
+          }
+        }
+        // update conversation focus AFTER the turn: last entity in the turn
+        val entsInTurn = kept.filter(!_._3._4)
+        if (entsInTurn.nonEmpty) lastEnt = Some(entsInTurn.last._3._2)
+      }
+    }
+    triples.toSet
+  }
+
+  test("pipeline triples match oracle resolution at P/R >= 0.95 (exact here)") {
+    import spark.implicits._
+    val entities = Synth.entityDump(spark, nEnts)
+    val properties = Synth.propertyDump(spark, mProps)
+    val redirects = Synth.redirects(spark, nEnts)
+    val transcripts = Synth.transcripts(spark, convs, turnsPerConv, nEnts, mProps)
+    val outDir = Files.createTempDirectory("graft-e2e").toString
+    val res = KgPipeline.run(spark, transcripts, entities, properties, redirects, outDir)
+
+    val got = res.triples
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSet
+    assert(got.nonEmpty, "pipeline produced no triples")
+
+    val turnRows = transcripts.select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    val want = oracleTriples(collectEntities(), collectProps(), turnRows)
+
+    val tp = (got intersect want).size.toDouble
+    val precision = if (got.isEmpty) 1.0 else tp / got.size
+    val recall = if (want.isEmpty) 1.0 else tp / want.size
+    info(f"precision=$precision%.4f recall=$recall%.4f got=${got.size} want=${want.size}")
+    assert(precision >= 0.95 && recall >= 0.95,
+      s"P=$precision R=$recall\nonly-spark=${(got -- want).take(5)}\nonly-oracle=${(want -- got).take(5)}")
+  }
+
+  test("per-turn text equality under stable turn ordering (input invariant)") {
+    val transcripts = Synth.transcripts(spark, convs, turnsPerConv, nEnts, mProps)
+    // reconstruct through the stable ordering window and join back
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    val reordered = transcripts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("expected_idx", col("rn") - 1)
+    val bad = reordered.filter(col("expected_idx") =!= col("turn_idx")).count()
+    assert(bad == 0, "turn ordering not dense/stable")
+    val self = transcripts.select(col("conv_id"), col("turn_idx"), col("text").as("t2"))
+    val mism = transcripts.join(self, Seq("conv_id", "turn_idx"))
+      .filter(col("text") =!= col("t2")).count()
+    assert(mism == 0)
+  }
+
+  test("resume: second run reads every stage from manifests; outputs identical") {
+    val entities = Synth.entityDump(spark, nEnts)
+    val properties = Synth.propertyDump(spark, mProps)
+    val redirects = Synth.redirects(spark, nEnts)
+    val transcripts = Synth.transcripts(spark, 10L, 4, nEnts, mProps)
+    val outDir = Files.createTempDirectory("graft-resume").toString
+
+    val r1 = KgPipeline.run(spark, transcripts, entities, properties, redirects, outDir)
+    val t1 = r1.triples.collect().map(_.toString).sorted
+    val resumed1 = r1.metrics.select("stage", "resumed").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(resumed1.values.forall(_ == false))
+
+    val r2 = KgPipeline.run(spark, transcripts, entities, properties, redirects, outDir)
+    val resumed2 = r2.metrics.select("stage", "resumed").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(resumed2.values.forall(_ == true), s"not resumed: $resumed2")
+    assert(r2.triples.collect().map(_.toString).sorted.sameElements(t1))
+
+    // invalidate one mid-pipeline stage → only it recomputes, same rows
+    Files.delete(Paths.get(outDir, "triples", "_MANIFEST.json"))
+    val r3 = KgPipeline.run(spark, transcripts, entities, properties, redirects, outDir)
+    val resumed3 = r3.metrics.select("stage", "resumed").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(resumed3("triples") == false && resumed3("mentions") == true)
+    assert(r3.triples.collect().map(_.toString).sorted.sameElements(t1))
+  }
+}
