@@ -19,9 +19,52 @@ object SparkEntry {
       out)
     res.edges
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data ops. Hash-based LSH / float-ranked ANN entries are
+    * rows-only (no oracle) and verified in-engine against brute force.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.queries.{CoreQueries => C, KgQueries => K, OpsQueries => O}
+    Map(
+      "a1_group_label" -> (C.a1GroupLabel _),
+      "a2_explode_tokens" -> (C.a2ExplodeTokens _),
+      "a4_rare_surfaces" -> (C.a4RareSurfaces _),
+      "a5_max_count_dedup" -> (C.a5MaxCountDedup _),
+      "a8_invert_index" -> (C.a8InvertIndex _),
+      "j1_left_join_enrich" -> (C.j1LeftJoinEnrich _),
+      "j2_two_hop" -> (C.j2TwoHop _),
+      "j3_popularity_demote" -> (C.j3PopularityDemote _),
+      "e1_unique_labels" -> (C.e1UniqueLabels _),
+      "e5_anti_join_vacancy" -> (C.e5AntiJoinVacancy _),
+      "semi_join_active" -> (C.semiJoinActive _),
+      "o2_window_top1" -> (C.o2WindowTop1 _),
+      "salted_agg_equiv" -> (C.saltedAggEquiv _),
+      "sessionize_events" -> (C.sessionizeEvents _),
+      "turns_stable_order" -> (C.turnsStableOrder _),
+      "p11_qualifier_explode" -> (C.p11QualifierExplode _),
+      "p2_regex_parse" -> (C.p2RegexParse _),
+      "cc_components" -> (C.ccComponents _),
+      "kg_entity_index" -> (K.kgEntityIndex _),
+      "kg_property_index" -> (K.kgPropertyIndex _),
+      "kg_mentions" -> (K.kgMentions _),
+      "kg_triples" -> (K.kgTriples _),
+      "dedup_exact" -> (O.dedupExact _),
+      "dedup_jaccard_pairs" -> (O.dedupJaccardPairs _),
+      "dedup_minhash_lsh" -> (O.dedupMinhashLsh _),
+      "dedup_simhash" -> (O.dedupSimhash _),
+      "text_quality" -> (O.textQuality _),
+      "lang_id" -> (O.langId _),
+      "token_counts" -> (O.tokenCounts _),
+      "doc_fingerprint" -> (O.docFingerprint _),
+      "multimodal_meta" -> (O.multimodalMeta _),
+      "multimodal_features" -> (O.multimodalFeatures _),
+      "frame_sample" -> (O.frameSample _),
+      "embed_stats" -> (O.embedStats _),
+      "ann_brute_topk" -> (O.annBruteTopK _),
+      "ann_ivf_topk" -> (O.annIvfTopK _),
+      "embed_near_dups" -> (O.embedNearDups _))
+  }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = graft.queries.Oracles.all
 }

@@ -1,0 +1,325 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every SQL-expressible query in SparkEntry.queries.
+  * Each statement runs against the same parquet tables (registered by stem
+  * name) and must reproduce the Spark output exactly: same column names,
+  * integer/exact-decimal arithmetic only (no float aggregation), identical
+  * tie-breaks. Validated against duckdb 1.0.
+  */
+object Oracles {
+
+  val all: Map[String, String] = Map(
+    "a1_group_label" ->
+      """SELECT p_name AS surface, count(*) AS n_ents, min(p_partkey) AS min_id
+        |FROM part GROUP BY p_name""".stripMargin,
+
+    "a2_explode_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token""".stripMargin,
+
+    "a4_rare_surfaces" ->
+      """SELECT token, count(*) AS n, min(p_partkey) AS min_id
+        |FROM (SELECT unnest(string_split(p_name || ' tok' || (p_partkey // 3), ' ')) AS token, p_partkey FROM part)
+        |GROUP BY token HAVING count(*) <= 3""".stripMargin,
+
+    "a5_max_count_dedup" ->
+      """SELECT p_type, p_partkey FROM (
+        |  SELECT p_type, p_partkey,
+        |         row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part) WHERE rn = 1""".stripMargin,
+
+    "a8_invert_index" ->
+      """SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+
+    "j1_left_join_enrich" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+
+    "j2_two_hop" ->
+      """SELECT r_name, count(*) AS n_suppliers, count(DISTINCT n_nationkey) AS n_nations
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin,
+
+    "j3_popularity_demote" ->
+      """SELECT p_brand,
+        |       CAST(SUM(CASE WHEN l_extendedprice > p_retailprice * 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_demoted,
+        |       count(*) AS n_total
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
+
+    "e1_unique_labels" ->
+      """SELECT p_name || ' v' || (p_partkey % 997) AS surface, min(p_partkey) AS id
+        |FROM part GROUP BY 1 HAVING count(*) = 1""".stripMargin,
+
+    "e5_anti_join_vacancy" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin,
+
+    "semi_join_active" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin,
+
+    "o2_window_top1" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "salted_agg_equiv" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "sessionize_events" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM (SELECT user_id, ts,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM events) GROUP BY user_id""".stripMargin,
+
+    "turns_stable_order" ->
+      """SELECT 'u' || user_id AS conv_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+        |       event_type AS text
+        |FROM events""".stripMargin,
+
+    "p11_qualifier_explode" ->
+      """SELECT p_brand, p_brand || ' (' || q.kind_label || ')' AS surface, q.pfx
+        |FROM (SELECT DISTINCT p_brand FROM part)
+        |CROSS JOIN (VALUES ('statement','p'), ('qualifier','pq'),
+        |  ('normalized qualifier','pqn'), ('value','ps'), ('normalized value','psn'))
+        |  AS q(kind_label, pfx)""".stripMargin,
+
+    "p2_regex_parse" ->
+      """SELECT regexp_extract('<http://www.wikidata.org/entity/Q' || s_suppkey || '>',
+        |         '<?(http://www\.wikidata\.org/entity/(Q\d+))>?', 2) AS qid,
+        |       trim(regexp_extract('"label ' || s_suppkey || '"@en', '^"(.*)"@en$', 1)) AS label
+        |FROM supplier""".stripMargin,
+
+    "cc_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT printf('N%06d', c_custkey) AS u, printf('N%06d', c_custkey - 1) AS v
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |e AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+        |nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e),
+        |reach(a, b) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
+        |SELECT a AS node, min(b) AS canonical_id FROM reach GROUP BY a""".stripMargin,
+
+    // ---- KG cascade / mention / triple oracles on derived dictionaries ----
+
+    "kg_entity_index" ->
+      """WITH ents AS (
+        |  SELECT 'Q' || p_partkey AS qid, p_name AS label, p_type AS info,
+        |         CAST(p_size AS BIGINT) AS cnt, p_partkey AS seq,
+        |         list_filter([p_brand,
+        |           CASE WHEN p_partkey % 10 = 0 THEN 'uniq-' || p_partkey END,
+        |           CASE WHEN p_partkey % 7 = 3 THEN string_split(p_name, ' ')[1] || ' rod' END],
+        |           x -> x IS NOT NULL) AS aliases
+        |  FROM part),
+        |alias_occ AS (SELECT unnest(aliases) AS a_surface, qid AS a_qid, cnt AS a_count FROM ents),
+        |uniq_alias AS (
+        |  SELECT a_surface, min(a_qid) AS a_qid, min(a_count) AS a_count
+        |  FROM alias_occ GROUP BY a_surface HAVING count(*) <= 1),
+        |cand AS (
+        |  SELECT e.*, count(*) OVER (PARTITION BY e.label) AS grp_n,
+        |         COALESCE(u.a_qid IS NOT NULL AND u.a_qid <> e.qid AND u.a_count > e.cnt, FALSE) AS ovr
+        |  FROM ents e LEFT JOIN uniq_alias u ON e.label = u.a_surface),
+        |e1 AS (SELECT label AS surface, qid AS id FROM cand WHERE grp_n = 1 AND NOT ovr),
+        |e2 AS (
+        |  SELECT c.* FROM cand c
+        |  WHERE (grp_n > 1 OR ovr) AND info <> ''
+        |    AND NOT EXISTS (SELECT 1 FROM e1 WHERE e1.surface = c.label || ' (' || c.info || ')')),
+        |reps AS (
+        |  SELECT *, count(*) OVER (PARTITION BY label, info) AS g_size,
+        |         max(cnt) OVER (PARTITION BY label, info) AS g_max,
+        |         row_number() OVER (PARTITION BY label, info ORDER BY cnt DESC, seq DESC) AS rn
+        |  FROM e2),
+        |e34 AS (
+        |  SELECT *, SUM(CASE WHEN NOT ovr THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY label ORDER BY g_max DESC, g_size ASC, info ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_el
+        |  FROM reps WHERE rn = 1),
+        |e3_plain AS (SELECT label AS surface, qid AS id FROM e34 WHERE NOT ovr AND cum_el = 1),
+        |e34_info AS (SELECT label AS surface, info, qid AS id FROM e34 WHERE NOT (NOT ovr AND cum_el = 1)),
+        |taken_plain AS (SELECT surface FROM e1 UNION ALL SELECT surface FROM e3_plain),
+        |alias_cand AS (SELECT qid, cnt, info, unnest(list_distinct(aliases)) AS alias FROM ents),
+        |plain_round AS (
+        |  SELECT ac.*, row_number() OVER (PARTITION BY alias ORDER BY cnt DESC, qid ASC) AS rn
+        |  FROM alias_cand ac
+        |  WHERE NOT EXISTS (SELECT 1 FROM taken_plain t WHERE t.surface = ac.alias)),
+        |e5_plain AS (SELECT alias AS surface, qid AS id FROM plain_round WHERE rn = 1),
+        |info_cand AS (
+        |  SELECT ac.* FROM alias_cand ac
+        |  WHERE NOT EXISTS (SELECT 1 FROM plain_round p
+        |                    WHERE p.rn = 1 AND p.alias = ac.alias AND p.qid = ac.qid)
+        |    AND ac.info <> ''
+        |    AND NOT EXISTS (SELECT 1 FROM e34_info t
+        |                    WHERE t.surface = ac.alias AND t.info = ac.info)),
+        |e5_info AS (
+        |  SELECT alias AS surface, info, qid AS id,
+        |         row_number() OVER (PARTITION BY alias, info ORDER BY cnt DESC, qid ASC) AS rn
+        |  FROM info_cand)
+        |SELECT surface, '' AS info, id, 0 AS kind FROM e1
+        |UNION ALL SELECT surface, '' AS info, id, 0 AS kind FROM e3_plain
+        |UNION ALL SELECT surface, info, id, 1 AS kind FROM e34_info
+        |UNION ALL SELECT surface, '' AS info, id, 2 AS kind FROM e5_plain
+        |UNION ALL SELECT surface, info, id, 3 AS kind FROM e5_info WHERE rn = 1""".stripMargin,
+
+    "kg_property_index" ->
+      """WITH props AS (
+        |  SELECT 'P' || s_suppkey AS pid, 'rel ' || (s_suppkey % 40) AS label,
+        |         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cnt, s_suppkey AS seq,
+        |         list_filter(['alias ' || (s_suppkey % 60),
+        |           CASE WHEN s_suppkey % 5 = 0 THEN 'ualias ' || s_suppkey END],
+        |           x -> x IS NOT NULL) AS aliases
+        |  FROM supplier),
+        |labels AS (
+        |  SELECT label AS surface, pid, 0 AS kind FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY label ORDER BY cnt DESC, seq ASC) AS rn
+        |    FROM props) WHERE rn = 1),
+        |occ AS (SELECT unnest(aliases) AS surface, pid FROM props),
+        |uniq AS (SELECT surface, min(pid) AS pid, 1 AS kind FROM occ
+        |         GROUP BY surface HAVING count(*) = 1)
+        |SELECT surface, pid, kind FROM labels
+        |UNION ALL
+        |SELECT surface, pid, kind FROM uniq u
+        |WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.surface = u.surface)""".stripMargin,
+
+    "kg_mentions" ->
+      """WITH corpus AS (
+        |  SELECT p_brand AS brand, string_agg(p_name, ' ' ORDER BY p_partkey) AS text
+        |  FROM part GROUP BY p_brand),
+        |dict AS (SELECT p_name AS surface, 'Q' || min(p_partkey) AS id FROM part GROUP BY p_name),
+        |toks AS (
+        |  SELECT brand, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(range(len(string_split(text, ' ')))) AS pos
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT brand, CAST(pos AS INT) AS s, CAST(pos + 1 AS INT) AS e, tok AS gram FROM toks
+        |  UNION ALL
+        |  SELECT t1.brand, CAST(t1.pos AS INT), CAST(t1.pos + 2 AS INT), t1.tok || ' ' || t2.tok
+        |  FROM toks t1 JOIN toks t2 ON t1.brand = t2.brand AND t2.pos = t1.pos + 1),
+        |matches AS (SELECT g.brand, g.s, g.e, d.id FROM grams g JOIN dict d ON g.gram = d.surface)
+        |SELECT m.brand, m.s AS span_start, m.e AS span_end, m.id
+        |FROM matches m
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM matches x
+        |  WHERE x.brand = m.brand AND x.s < m.e AND m.s < x.e
+        |    AND ((x.e - x.s) > (m.e - m.s) OR ((x.e - x.s) = (m.e - m.s) AND x.s < m.s)))""".stripMargin,
+
+    "kg_triples" ->
+      """WITH m AS (
+        |  SELECT 'c' || (l_orderkey % 50) AS conv_id,
+        |         CAST((l_orderkey // 50) % 20 AS INT) AS turn_idx,
+        |         CAST(l_linenumber AS INT) AS s,
+        |         CAST(l_linenumber + 1 AS INT) AS e,
+        |         (l_linenumber % 3 = 0) AS is_prop,
+        |         CASE WHEN l_linenumber % 3 = 0 THEN 'P' || l_suppkey
+        |              ELSE 'Q' || l_partkey END AS id
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT is_prop THEN id END IGNORE NULLS)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx, s, e, id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS subj,
+        |    first_value(CASE WHEN NOT is_prop THEN turn_idx END IGNORE NULLS)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx, s, e, id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS obj_t,
+        |    first_value(CASE WHEN NOT is_prop THEN id END IGNORE NULLS)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx, s, e, id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS obj_i
+        |  FROM m)
+        |SELECT subj, id AS pred, obj_i AS obj, conv_id, turn_idx
+        |FROM w WHERE is_prop AND subj IS NOT NULL AND obj_i IS NOT NULL AND obj_t = turn_idx""".stripMargin,
+
+    // ---- training-data ops ----
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |tok AS (SELECT DISTINCT id, token FROM (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  WHERE token <> ''),
+        |sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+        |inter AS (
+        |  SELECT x.id AS a, y.id AS b, count(*) AS inter
+        |  FROM tok x JOIN tok y ON x.token = y.token AND x.id < y.id
+        |  GROUP BY x.id, y.id)
+        |SELECT i.a, i.b, i.inter, sa.sz + sb.sz - i.inter AS uni
+        |FROM inter i JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id
+        |WHERE i.inter * 100 >= 80 * (sa.sz + sb.sz - i.inter)""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS BIGINT) AS n_stop,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 400 // length(text)
+        |    + (length(text) - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))) * 300 // length(text)
+        |    + CASE WHEN len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the','a','and','of','to','in','is','it'], t))) > 0
+        |      THEN 300 ELSE 0 END
+        |  END AS quality_milli
+        |FROM documents""".stripMargin,
+
+    "lang_id" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS BIGINT) AS en_hits,
+        |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','ein','zu','mit'], t))) AS BIGINT) AS de_hits,
+        |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','de','un','est','que','pour'], t))) AS BIGINT) AS fr_hits,
+        |  CASE
+        |    WHEN len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to','in','is','it'], t))) >= len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','ein','zu','mit'], t)))
+        |     AND len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to','in','is','it'], t))) >= len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','de','un','est','que','pour'], t)))
+        |     AND len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to','in','is','it'], t))) > 0 THEN 'en'
+        |    WHEN len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','ein','zu','mit'], t))) >= len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','de','un','est','que','pour'], t)))
+        |     AND len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','ein','zu','mit'], t))) > 0 THEN 'de'
+        |    WHEN len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','de','un','est','que','pour'], t))) > 0 THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM documents""".stripMargin,
+
+    "token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "frame_sample" ->
+      """SELECT media_id, count(*) AS n_frames, CAST(SUM(fb) AS BIGINT) AS total_bytes
+        |FROM (SELECT doc_id AS media_id, i, LEAST(32, strlen(text) - i*32) AS fb
+        |      FROM documents, unnest(range(0, CAST(strlen(text)/32 AS BIGINT) + 1)) AS t(i)
+        |      WHERE i % 2 = 0 AND strlen(text) - i*32 > 0)
+        |GROUP BY media_id""".stripMargin,
+
+    "embed_stats" ->
+      """SELECT label, count(*) AS n,
+        |       CAST(min(len(embedding)) AS INT) AS min_dim,
+        |       CAST(max(len(embedding)) AS INT) AS max_dim
+        |FROM embeddings GROUP BY label""".stripMargin)
+}

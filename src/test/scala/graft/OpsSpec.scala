@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** In-engine verification for the ops without SQL oracles: LSH variants are
+  * checked against exact brute force (precision exact by construction — both
+  * verify candidates — recall bounded below), ANN-IVF against brute-force
+  * top-k, multimodal plumbing for shape + determinism.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // deterministic corpus: 30 base docs + planted near-identical variants
+  lazy val corpus = {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val base = (0L until 30L).map { i =>
+      val toks = (0 until 12).map(j => words(((i * 7 + j * 3 + j * j) % words.size).toInt))
+      (i, toks.mkString(" "))
+    }
+    val nearDups = base.take(8).map { case (i, t) =>
+      (i + 100, t.split(" ").dropRight(1).mkString(" ") + " omega")
+    }
+    docs((base ++ nearDups): _*)
+  }
+
+  def bruteJaccard(thresholdPct: Int): Set[(Long, Long)] = {
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1).split("\\s+").toSet))
+    (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      inter = (ta intersect tb).size; uni = (ta union tb).size
+      if inter * 100 >= thresholdPct * uni
+    } yield (a, b)).toSet
+  }
+
+  test("minhash-LSH pairs: exact precision, high recall vs brute force") {
+    val got = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numHashes = 32, bands = 8, thresholdPct = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteJaccard(70)
+    assert(want.nonEmpty, "corpus must contain planted near-dups")
+    assert((got -- want).isEmpty, s"LSH emitted non-dups: ${got -- want}") // exact verify step
+    val recall = (got intersect want).size.toDouble / want.size
+    assert(recall >= 0.8, s"recall=$recall got=$got want=$want")
+  }
+
+  test("jaccard inverted-index pairs == brute force") {
+    val gotAb = Dedup.jaccardPairs(corpus, "doc_id", "text", 70, 1000L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAb == bruteJaccard(70))
+  }
+
+  test("simhash pairs == ALL pairs at hamming <= chunks-1 (pigeonhole exact)") {
+    // the operator guarantees: candidates ⊇ every pair with hamming ≤
+    // chunks-1 (a shared chunk is forced), and the verify step filters to
+    // maxHamming — so with maxHamming = chunks-1 the result is EXACT.
+    import spark.implicits._
+    val bits = corpus
+      .select(col("doc_id"), Dedup.simhashBits(
+        array_distinct(filter(split(col("text"), "\\s+"), t => length(t) > 0))).as("b"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val want = (for {
+      (a, ba) <- bits; (b, bb) <- bits if a < b
+      ham = ba.zip(bb).count(p => p._1 != p._2)
+      if ham <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"only-got=${got -- want} only-want=${want -- got}")
+    assert(want.nonEmpty, "corpus should contain simhash-close pairs")
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = docs((1L, "x y z"), (2L, "x y z"), (3L, "other"))
+    val got = Dedup.exact(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  lazy val vecs = {
+    import spark.implicits._
+    // deterministic clustered vectors: 4 clusters in 8 dims + noise
+    (0L until 60L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(8) { d =>
+        val base = if (d == c * 2) 1.0f else 0.0f
+        base + 0.05f * (((i * 31 + d * 17) % 11) - 5)
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF ANN recall vs brute-force top-k") {
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 3,
+        nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall=$recall")
+  }
+
+  test("embedding near-dups via sign-LSH: precision exact") {
+    val got = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.95, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= 0.95))
+    assert(got.nonEmpty) // same-cluster vectors are >0.95
+  }
+
+  test("multimodal: attach → stubbed decode → frame sampling plumbing") {
+    val d = docs((1L, "a" * 100), (2L, "bb"))
+    val media = Multimodal.attach(d, "doc_id", "text")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 100 && feats(2L).n_bytes == 2)
+    assert(feats(1L).features.length == 4)
+    // determinism: same input → same fake features
+    val again = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).features.toSeq == again(1L).features.toSeq)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 1: 100 bytes → frames at 0(32B),2(32B) sampled; idx1,3 skipped
+    assert(frames.filter(_._1 == 1L).map(f => (f._2, f._3)).toSet == Set((0, 32), (2, 32)))
+  }
+
+  test("text analysis: quality/langid/token counts on crafted inputs") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog."),
+      (2L, "der hund und die katze sind zu haus mit der maus"),
+      (3L, "12345 !!!"))
+    val q = TextAnalysis.quality(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Long]("n_stop") > 0)
+    assert(q(3L).getAs[Long]("n_digit") == 5)
+    val l = TextAnalysis.langId(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(l(1L) == "en" && l(2L) == "de" && l(3L) == "und")
+    val t = TextAnalysis.tokenCounts(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t(1L)._1 == 9) // whitespace tokens
+    assert(t(3L)._2 == 4) // "12345", "!", "!", "!"
+  }
+
+  test("fingerprint: deterministic rolling hash") {
+    val d = docs((1L, "abc"), (2L, "abc"), (3L, "abd"))
+    val fp = TextAnalysis.fingerprints(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    // ((0*31+97)%p *31 + 98)%p *31 + 99 = 97*961 + 98*31 + 99
+    assert(fp(1L) == 97L * 31 * 31 + 98L * 31 + 99L)
+  }
+}
