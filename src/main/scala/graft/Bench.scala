@@ -1,24 +1,130 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+  *
+  * Three sections:
+  *  1. every SparkEntry query timed on SPARK_GRAFT_SF_DIR ("queries"),
+  *  2. the end-to-end KG pipeline (extract→link→canonicalize→materialize)
+  *     on a synthesized transcript corpus → triples/sec ("triples_per_sec"),
+  *  3. the north-rule two-parallelism scaling run: the SAME pipeline job at
+  *     local[N] and local[4N] on identical input → throughput at both +
+  *     efficiency = (tput_4N / tput_N) / 4 ("scaling").
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def buildSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Run the full pipeline on a fresh synthesized corpus; returns
+    * (triples emitted, wall seconds).
+    */
+  def pipelineRun(spark: SparkSession, convs: Long, turns: Int,
+      ents: Long, props: Long): (Long, Double) = {
+    val out = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val t0 = System.nanoTime()
+    val res = graft.pipeline.KgPipeline.run(
+      spark,
+      graft.synth.Synth.transcripts(spark, convs, turns, ents, props),
+      graft.synth.Synth.entityDump(spark, ents),
+      graft.synth.Synth.propertyDump(spark, props),
+      graft.synth.Synth.redirects(spark, ents),
+      out)
+    // edges is the last materialized stage; every stage was written by run()
+    val nTriples = res.triples.count()
+    (nTriples, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(cpus / 4, 1)
+
+    // ---- scaling runs first (each needs its own session/master) ----
+    // a small warmup run per session pays the one-time JVM/codegen costs so
+    // the N vs 4N comparison measures the job, not classloading.
+    // large enough that per-task work dominates fixed stage costs — the
+    // efficiency number is meaningless when the job is all scheduling
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toLong
+    // dictionary scales with the corpus (at 10^12 turns the dictionary is
+    // 10^8 entities) — a toy dictionary turns stage 1 into fixed overhead
+    // and the efficiency number into an Amdahl artifact.
+    val dictEnts = math.max(scale * 5, 1000L)
+    val dictProps = math.max(scale / 20, 50L)
+    val sparkLow = buildSession(lowCpus)
+    pipelineRun(sparkLow, 100, 5, 500, 50)
+    val (nLow, tLow) = pipelineRun(sparkLow, scale, 20, dictEnts, dictProps)
+    sparkLow.stop()
+    val sparkHigh = buildSession(cpus)
+    pipelineRun(sparkHigh, 100, 5, 500, 50)
+    val (nHigh, tHigh) = pipelineRun(sparkHigh, scale, 20, dictEnts, dictProps)
+    sparkHigh.stop()
+    val tputLow = nLow / tLow
+    val tputHigh = nHigh / tHigh
+    val efficiency = (tputHigh / tputLow) / (cpus.toDouble / lowCpus)
+
+    // ---- narrow compute-bound scaling pair (1 vs 4) ----
+    // Shuffle-class work saturates this VM's memory bandwidth with a single
+    // thread (see BASELINE.md microbenchmarks), so the full-pipeline pair
+    // understates real N→4N EXECUTOR scaling where memory buses multiply.
+    // The broadcast mention scan is the pipeline's dominant compute and is
+    // bandwidth-light: its 1→4 pair evidences per-core scaling honestly.
+    def scanRun(cpus: Int): (Long, Double) = {
+      val s = buildSession(cpus)
+      val ents = graft.synth.Synth.entityDump(s, 5000)
+      val props = graft.synth.Synth.propertyDump(s, 200)
+      val dict = graft.pipeline.KgPipeline.dictionary(
+        graft.index.EntityIndexBuilder.build(ents), ents,
+        graft.index.PropertyIndexBuilder.build(props), props).persist()
+      dict.count()
+      graft.pipeline.Mentions.detectFast(
+        graft.synth.Synth.transcripts(s, 100, 5, 5000, 200), dict).count()
+      val turns = graft.synth.Synth.transcripts(s, 100000, 20, 5000, 200)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val n = graft.pipeline.Mentions.detectFast(turns, dict).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      (n, t)
+    }
+    val (m1, ts1) = scanRun(1)
+    val (m4, ts4) = scanRun(4)
+    val effNarrow = ((m4 / ts4) / (m1 / ts1)) / 4.0
+
+    // ---- per-query timings on the harness tables ----
+    val sparkQ = buildSession(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(sparkQ, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+
+    val scaling =
+      f"""{"cpus_low":$lowCpus,"cpus_high":$cpus,"triples":$nHigh,""" +
+        f""""sec_low":$tLow%.1f,"sec_high":$tHigh%.1f,""" +
+        f""""tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,""" +
+        f""""efficiency":$efficiency%.3f}"""
+    val scalingNarrow =
+      f"""{"cpus_low":1,"cpus_high":4,"mentions":$m4,""" +
+        f""""sec_low":$ts1%.1f,"sec_high":$ts4%.1f,""" +
+        f""""tput_low":${m1 / ts1}%.1f,"tput_high":${m4 / ts4}%.1f,""" +
+        f""""efficiency":$effNarrow%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""sf":"$sfDir","triples_per_sec":$tputHigh%.1f,""" +
+        f""""scaling":$scaling,"scaling_narrow":$scalingNarrow}""")
+    sparkQ.stop()
   }
 }

@@ -57,11 +57,14 @@ object Canonicalize {
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint: the (sorted) edge multiset is stable. Cheap proxy: counts +
-      // checksum of both columns.
-      val a = edges.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
-      val b = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
-      converged = a == b
+      // fixpoint: the edge set is stable. One job: count + order-insensitive
+      // checksum of old and new edge sets side by side.
+      val check = edges.select(lit(0).as("side"), col("u"), col("v"))
+        .union(next.select(lit(1).as("side"), col("u"), col("v")))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(xxhash64(u, v))").as("h"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.get(2))).toMap
+      converged = check.get(0) == check.get(1)
       edges = next
       iter += 1
     }

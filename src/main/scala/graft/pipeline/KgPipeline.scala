@@ -106,7 +106,7 @@ object KgPipeline {
     val dict = dictionary(entityIndex, entities, propertyIndex, properties)
 
     val mentions = timed("mentions", s"$baseFp;after=indices") {
-      Mentions.detect(transcripts, dict)
+      Mentions.detectFast(transcripts, dict)
     }
     val scores = timed("link_scores", s"$baseFp;after=mentions") {
       SaltedAgg.linkScores(mentions, saltN)

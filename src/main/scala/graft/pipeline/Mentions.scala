@@ -86,11 +86,14 @@ object Mentions {
         col("g.start").as("span_start"),
         (col("g.start") + col("g.len")).as("span_end"),
         col("g.gram").as("surface"))
+    // persisted: the dominance anti-join reads `matches` on BOTH sides — the
+    // gram generate + broadcast probe (the expensive part) must run once.
     val matches = grams
       .join(broadcast(dictionary), Seq("surface"))
       .select(col("conv_id"), col("turn_idx"), col("span_start"), col("span_end"),
         col("surface"), col("id"), col("kind"), col("is_prop"),
         col("weight").cast("double").as("score"))
+      .persist()
 
     // dominance anti-join: drop matches overlapped by a strictly better one
     val m = matches.alias("m")
@@ -105,5 +108,72 @@ object Mentions {
       col("m.conv_id") === col("d.conv_id") &&
         col("m.turn_idx") === col("d.turn_idx") && overlap && better,
       "left_anti")
+  }
+
+  /** Trie-scan variant of [[detect]] — IDENTICAL semantics (same match set,
+    * same dominance rule; equivalence-tested), different physical shape: a
+    * single narrow `mapPartitions` over turns probing a broadcast token-trie
+    * (the Aho-Corasick-style path SURVEY.md §2.7 names as the fast
+    * alternative). No 60M-row gram explode, no self-join shuffle — overlap
+    * resolution happens per turn in memory. This is the pipeline's default;
+    * the Catalyst path remains for pure-SQL oracle checking.
+    *
+    * The dictionary is collected to the driver and broadcast — it IS the
+    * broadcast side by design (the reference holds it fully in RAM; at true
+    * scale the collected map is the same tens-of-millions-of-entries object).
+    */
+  def detectFast(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val entries = dictionary
+      .select(col("surface"), col("id"), col("kind"), col("is_prop"),
+        col("weight").cast("double"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3),
+        r.getDouble(4))))
+      .toMap
+    // prefixes of multi-token surfaces: extension happens only while the
+    // current gram can still grow into a dictionary entry
+    val prefixes: Set[String] = entries.keysIterator.flatMap { s =>
+      val toks = s.split(" ")
+      (1 until toks.length).map(j => toks.take(j).mkString(" "))
+    }.toSet
+    val bcDict = spark.sparkContext.broadcast(entries)
+    val bcPrefix = spark.sparkContext.broadcast(prefixes)
+
+    turns.select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        val dict = bcDict.value
+        val pfx = bcPrefix.value
+        it.flatMap { case (conv, turn, text) =>
+          val toks = text.split("\\s+")
+          val found = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Int, String, (String, Int, Boolean, Double))]
+          var i = 0
+          while (i < toks.length) {
+            var gram = toks(i)
+            var n = 1
+            var continue = true
+            while (continue) {
+              dict.get(gram).foreach(e => found += ((i, i + n, gram, e)))
+              continue = n < maxN && i + n < toks.length && pfx.contains(gram)
+              if (continue) { gram = gram + " " + toks(i + n); n += 1 }
+            }
+            i += 1
+          }
+          // dominance: survives iff no overlapping strictly-better match
+          found.iterator.filter { case (s, e, _, _) =>
+            !found.exists { case (s2, e2, _, _) =>
+              s2 < e && s < e2 &&
+                ((e2 - s2) > (e - s) || ((e2 - s2) == (e - s) && s2 < s))
+            }
+          }.map { case (s, e, g, (id, kind, isProp, w)) =>
+            (conv, turn, s, e, g, id, kind, isProp, w)
+          }
+        }
+      }
+      .toDF("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
+        "kind", "is_prop", "score")
   }
 }

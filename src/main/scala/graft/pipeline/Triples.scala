@@ -23,22 +23,28 @@ object Triples {
     * @return (subj, pred, obj, conv_id, turn_idx, score)
     */
   def extract(mentions: DataFrame): DataFrame = {
-    val wConv = Window.partitionBy(col("conv_id"))
-      .orderBy(col("turn_idx"), col("span_start"), col("span_end"), col("id"))
+    // both lookups use GROWING frames (unboundedPreceding → -1), which Spark
+    // evaluates incrementally in O(n) per partition; the "nearest entity
+    // after" is the same growing frame over the REVERSED sort order — a
+    // shrinking (1 → unboundedFollowing) frame would re-scan per row.
+    val wAsc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").asc, col("span_start").asc, col("span_end").asc,
+        col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = Window.partitionBy(col("conv_id"))
+      .orderBy(col("turn_idx").desc, col("span_start").desc, col("span_end").desc,
+        col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val entId = when(!col("is_prop"), col("id"))
     val entScore = when(!col("is_prop"), col("score"))
     val withCtx = mentions
-      .withColumn("subj",
-        last(entId, ignoreNulls = true)
-          .over(wConv.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("subj_score",
-        last(entScore, ignoreNulls = true)
-          .over(wConv.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("subj", last(entId, ignoreNulls = true).over(wAsc))
+      .withColumn("subj_score", last(entScore, ignoreNulls = true).over(wAsc))
       // nearest entity after, then constrain to same turn
       .withColumn("obj_cand",
-        first(when(!col("is_prop"), struct(col("turn_idx").as("t"), col("id").as("i"),
+        last(when(!col("is_prop"), struct(col("turn_idx").as("t"), col("id").as("i"),
           col("score").as("s"))), ignoreNulls = true)
-          .over(wConv.rowsBetween(1, Window.unboundedFollowing)))
+          .over(wDesc))
     withCtx
       .filter(col("is_prop") && col("subj").isNotNull &&
         col("obj_cand").isNotNull && col("obj_cand.t") === col("turn_idx"))

@@ -69,7 +69,11 @@ object KgQueries {
     * overlap resolution end-to-end against a pure-SQL mirror.
     */
   def kgMentions(s: SparkSession, d: String): DataFrame = {
-    val corpus = tbl(s, d, "part")
+    // every 10th part per brand keeps turn length bounded (the dominance
+    // self-join is quadratic in matches-per-turn by design — real turns are
+    // sentences, not 1600-token concatenations)
+    val parts = tbl(s, d, "part").filter(pmod(col("p_partkey"), lit(10)) === 0)
+    val corpus = parts
       .groupBy(col("p_brand"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("p_partkey"), col("p_name")))),

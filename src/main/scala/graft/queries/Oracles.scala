@@ -194,7 +194,7 @@ object Oracles {
     "kg_mentions" ->
       """WITH corpus AS (
         |  SELECT p_brand AS brand, string_agg(p_name, ' ' ORDER BY p_partkey) AS text
-        |  FROM part GROUP BY p_brand),
+        |  FROM part WHERE p_partkey % 10 = 0 GROUP BY p_brand),
         |dict AS (SELECT p_name AS surface, 'Q' || min(p_partkey) AS id FROM part GROUP BY p_name),
         |toks AS (
         |  SELECT brand, unnest(string_split(text, ' ')) AS tok,

@@ -80,6 +80,24 @@ class MentionTripleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("detectFast (broadcast trie scan) == detect (Catalyst) on synth corpus") {
+    val spark2 = spark
+    val ents = graft.synth.Synth.entityDump(spark2, 300)
+    val props = graft.synth.Synth.propertyDump(spark2, 30)
+    val ei = graft.index.EntityIndexBuilder.build(ents)
+    val pi = graft.index.PropertyIndexBuilder.build(props)
+    val dict = graft.pipeline.KgPipeline.dictionary(ei, ents, pi, props)
+    val turns = graft.synth.Synth.transcripts(spark2, 40, 6, 300, 30)
+    def collectM(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
+        "kind", "is_prop", "score")
+        .collect().map(_.toString).toSet
+    val a = collectM(Mentions.detect(turns, dict))
+    val b = collectM(Mentions.detectFast(turns, dict))
+    assert(a == b, s"only-catalyst=${(a -- b).take(5)} only-fast=${(b -- a).take(5)}")
+    assert(a.nonEmpty)
+  }
+
   test("rendered surface collisions resolve by kind priority") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
