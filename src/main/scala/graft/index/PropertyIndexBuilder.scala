@@ -28,14 +28,17 @@ object PropertyIndexBuilder {
 
   /** Input: canonical property schema `(pid, label, count, aliases, inverses,
     * seq)` with decorated labels and unique pids. Output: `(surface, pid, kind)`.
+    * `noAliases` mirrors the reference's `--no-aliases` flag
+    * (`kg-properties.rs:30-31,86`).
     */
-  def build(props: DataFrame): DataFrame = {
+  def build(props: DataFrame, noAliases: Boolean = false): DataFrame = {
     val wLabel = Window.partitionBy(col("label"))
       .orderBy(col("count").desc, col("seq").asc)
     val labels = props
       .withColumn("rn", row_number().over(wLabel))
       .filter(col("rn") === 1)
       .select(col("label").as("surface"), col("pid"), lit(KindLabel).as("kind"))
+    if (noAliases) return labels
 
     val aliasOcc = props.select(col("pid"), explode(col("aliases")).as("surface"))
     val uniqueAliases = aliasOcc

@@ -136,6 +136,8 @@ object KgPipeline {
     val metrics = metricsRows.toSeq
       .map { case (st, rows, ms, res) => (st, rows, ms, res, System.currentTimeMillis() - t0) }
       .toDF("stage", "rows_out", "wall_ms", "resumed", "total_ms")
+    // lineage/metrics land next to the data (append: one batch per run)
+    metrics.coalesce(1).write.mode("append").parquet(s"$outDir/_metrics")
     Result(entityIndex, propertyIndex, mentions, scores, triples, nodes, edges, metrics)
   }
 }

@@ -29,8 +29,12 @@ object SaltedAgg {
       case "min" => min(c)
       case "max" => max(c)
     }
+    // salt from a row id, not row content: hashing all columns would defeat
+    // column pruning at the scan (and costs a wide hash per row). The salt
+    // only needs to spread a hot key's rows across reducers — the final
+    // re-aggregation makes any assignment correct.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(saltN.toLong)))
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltN.toLong)))
     val phase1 = salted
       .groupBy((key.map(col) :+ col("_salt")): _*)
       .agg(m(measures.head.fn, col(measures.head.colName)).as(measures.head.as),
