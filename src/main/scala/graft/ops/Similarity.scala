@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) as a Column expression. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b): the custom codegen'd Catalyst expression (single fused loop,
+    * no intermediate array — see graft.functions.FloatVecDot). The pure
+    * built-in formulation is kept for equivalence testing.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vec_dot(a, b)
+
+  /** Built-in-only reference formulation of [[dot]]. */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
