@@ -89,12 +89,17 @@ object Bench {
       dict.count()
       graft.pipeline.Mentions.detectFast(
         graft.synth.Synth.transcripts(s, 100, 5, 5000, 200), dict).count()
-      val turns = graft.synth.Synth.transcripts(s, 100000, 20, 5000, 200)
-      val t0 = System.nanoTime()
-      val n = graft.pipeline.Mentions.detectFast(turns, dict).count()
-      val t = (System.nanoTime() - t0) / 1e9
+      val turns = graft.synth.Synth.transcripts(s, 200000, 20, 5000, 200)
+      // best-of-2: JVM warm-state noise otherwise dominates the short run
+      var best = Double.MaxValue
+      var n = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        n = graft.pipeline.Mentions.detectFast(turns, dict).count()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
       s.stop()
-      (n, t)
+      (n, best)
     }
     val (m1, ts1) = scanRun(1)
     val (m4, ts4) = scanRun(4)

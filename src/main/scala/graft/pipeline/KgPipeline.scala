@@ -112,7 +112,7 @@ object KgPipeline {
       SaltedAgg.linkScores(mentions, saltN)
     }
     val triples = timed("triples", s"$baseFp;after=mentions") {
-      Triples.extract(mentions)
+      Triples.extractFast(mentions)
     }
     val canon = timed("canonical_map", s"$baseFp;after=triples") {
       Canonicalize.connectedComponents(coreferenceEdges(mentions, redirects))

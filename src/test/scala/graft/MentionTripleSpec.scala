@@ -62,6 +62,23 @@ class MentionTripleSpec extends AnyFunSuite {
       ("Q1490", "P47", "Q1490", "c1", 2)))
   }
 
+  test("extractFast (single pass) == extract (windows) on synth mentions") {
+    val ents = graft.synth.Synth.entityDump(spark, 200)
+    val props = graft.synth.Synth.propertyDump(spark, 20)
+    val dict = graft.pipeline.KgPipeline.dictionary(
+      graft.index.EntityIndexBuilder.build(ents), ents,
+      graft.index.PropertyIndexBuilder.build(props), props)
+    val mentions = Mentions.detectFast(
+      graft.synth.Synth.transcripts(spark, 30, 6, 200, 20), dict)
+    def c(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("subj", "pred", "obj", "conv_id", "turn_idx", "round(score, 6) AS s")
+      .collect().map(_.toString).sorted.toSeq
+    val a = c(Triples.extract(mentions))
+    val b = c(Triples.extractFast(mentions))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("salted aggregation == plain aggregation (skewed keys)") {
     import spark.implicits._
     val rows = (1 to 2000).map { i =>
