@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale deduplication operators for training-data pipelines.
@@ -9,6 +8,12 @@ import org.apache.spark.sql.functions._
   * touches the full corpus, so each scales by partitioning on the
   * token/band key (the classic MinHash-LSH construction, Broder '97;
   * SimHash, Charikar '02).
+  *
+  * Every hash in this family is the engine-portable polynomial hash
+  * (characters folded mod 1e9+7, [[TextAnalysis.fingerprint]]) plus affine
+  * integer mixing — NO engine-specific hash (xxhash64) anywhere — so each
+  * operator has an exact ANSI-SQL oracle (the driver's DuckDB compare
+  * reproduces the full pipeline bit-for-bit).
   */
 object Dedup {
 
@@ -21,6 +26,9 @@ object Dedup {
 
   private def tokens(textCol: Column): Column =
     filter(split(textCol, "\\s+"), t => length(t) > 0)
+
+  private val P: Long = 1000000007L
+  private val P31: Long = 2147483647L // 2^31 - 1
 
   /** Distinct (id, token) pairs with document-frequency cap — the inverted
     * index that keys every similarity self-join. Tokens above `maxDf` are
@@ -55,46 +63,103 @@ object Dedup {
         (col("sza") + col("szb") - col("inter")).as("uni"))
   }
 
-  private val MinhashPrime = 2147483647L // 2^31 - 1
-
-  /** MinHash signature of the token set: sig_i = min over tokens of
-    * (a_i * h(token) + b_i mod p), h reduced to 31 bits first so the affine
-    * step never overflows a long. One codegen'd expression — shingle →
-    * minhash entirely inside transform/array_min.
+  /** Portable per-token hashes: polynomial char hash mod 1e9+7 (< 2^30), the
+    * same primitive as [[TextAnalysis.fingerprint]].
     */
-  def minhashSig(tokensCol: Column, numHashes: Int): Column =
+  def tokenHashes(tokensCol: Column): Column =
+    transform(tokensCol, t => TextAnalysis.fingerprint(t))
+
+  /** MinHash signature from pre-hashed tokens: sig_i = min over token hashes
+    * of (a_i·h + b_i mod 2^31-1) with LARGE multipliers a_i (the affine step
+    * must wrap the modulus many times, otherwise every sig_i is minimized by
+    * the same smallest-hash token and the signature is degenerate).
+    * Max intermediate: h(<2^30) · a(<2^31) ≈ 2.3e18 < 2^63 — overflow-free in
+    * any engine with 64-bit integers.
+    */
+  def minhashSigFromHashes(hashesCol: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = i * 131 + 7
-      val b = i * 40503 + 11
-      array_min(transform(tokensCol,
-        t => pmod(pmod(xxhash64(t), lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
+      val a = pmod(i.cast("long") * 1103515245L + 12345L, lit(P31 - 1)) + 1L
+      val b = pmod(i.cast("long") * 134775813L + 1L, lit(P31))
+      array_min(transform(hashesCol, h => pmod(h * a + b, lit(P31))))
     })
+
+  /** MinHash signature of a token set (convenience composition). */
+  def minhashSig(tokensCol: Column, numHashes: Int): Column =
+    minhashSigFromHashes(tokenHashes(tokensCol), numHashes)
+
+  /** Polynomial band hash over a signature slice — portable stand-in for
+    * hashing the band tuple.
+    */
+  private def bandHash(sigSlice: Column): Column =
+    aggregate(sigSlice, lit(0L), (acc, x) => pmod(acc * 1000003L + x, lit(P)))
+
+  /** Drop (band, bhash) buckets holding more than `maxBucket` rows — the
+    * hot-bucket guard: a degenerate bucket of k rows produces k² candidate
+    * pairs, so at 100 TB every banded self-join needs this cap. Exact and
+    * SQL-expressible (GROUP BY ... HAVING count <= cap), so capped runs stay
+    * oracle-checkable. Dropped-bucket volume is observable via
+    * `countOverfullBuckets`.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
+    if (maxBucket == Long.MaxValue) banded
+    else banded.join(
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket),
+      keys, "left_semi")
+
+  /** Diagnostic: number of buckets (and rows) a `maxBucket` cap would drop. */
+  def countOverfullBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Long): (Long, Long) = {
+    val over = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .agg(count(lit(1)).as("buckets"), coalesce(sum(col("bn")), lit(0L)).as("rows"))
+      .collect()(0)
+    (over.getLong(0), over.getLong(1))
+  }
 
   /** MinHash + LSH banding: shingle → minhash → band → bucket-join →
     * candidate pairs verified by exact Jaccard. `bands` must divide
     * `numHashes`; rows-per-band r = numHashes/bands sets the similarity knee
     * (threshold ≈ (1/bands)^(1/r)).
+    *
+    * Scale shape: only (id, band, bhash) flows through the band shuffle —
+    * token arrays are joined back BY ID for the verify stage, never duplicated
+    * ×bands. `maxDf` prunes stop-word-frequency tokens from the token sets
+    * before signing AND verification (consistent set semantics), `maxBucket`
+    * bounds the worst-case bucket fan-out.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val toks = df.select(col(idCol).as("id"),
+    val toksAll = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
-      .filter(size(col("toks")) > 0)
-    val sigs = toks.withColumn("sig", minhashSig(col("toks"), numHashes))
-    val banded = sigs.select(col("id"), col("toks"),
+    // df-cap: rebuild per-doc token sets without tokens in > maxDf docs
+    val toks = (if (maxDf == Long.MaxValue) toksAll
+      else {
+        val tok = toksAll.select(col("id"), explode(col("toks")).as("token"))
+        val kept = tok.join(
+          tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+          Seq("token"), "left_semi")
+        kept.groupBy("id").agg(collect_list(col("token")).as("toks"))
+      }).filter(size(col("toks")) > 0)
+    val sigs = toks
+      .withColumn("sig", minhashSigFromHashes(tokenHashes(col("toks")), numHashes))
+    // ids-only banding: the wide `toks` column does NOT ride the band shuffle
+    val banded = capBuckets(
+      sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bhash")))
+          b => bandHash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bhash"))),
+      Seq("band", "bhash"), maxBucket)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.toks").as("ta"), col("y.toks").as("tb"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // verify candidates exactly (integer jaccard)
+    // verify candidates exactly (integer jaccard) — token sets joined back by id
     cands
+      .join(toks.select(col("id").as("a"), col("toks").as("ta")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("toks").as("tb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
       .filter(col("inter") * 100 >= lit(thresholdPct) * col("uni"))
@@ -103,17 +168,22 @@ object Dedup {
 
   private val SimhashBits = 48
 
-  /** SimHash bit vector (standard construction with one hash function per
-    * bit — avoids 64-bit shift precision issues): bit b is set iff more
-    * tokens hash to 1 on h_b than to 0.
+  /** SimHash bit vector (standard construction with one derived hash per
+    * bit): token hash h (portable polynomial), bit b votes 1 iff
+    * (h·(131b+137) + 1000003b + 7) mod 1e9+7 is odd; the bit is set when the
+    * 1-votes outnumber half the tokens. The mod-P reduction before the parity
+    * test is what scrambles the low bit (a bare affine parity would be
+    * degenerate).
     */
   def simhashBits(tokensCol: Column): Column = {
     val nToks = size(tokensCol)
+    val hs = tokenHashes(tokensCol)
     transform(
       sequence(lit(0), lit(SimhashBits - 1)),
       b => when(
-        size(filter(tokensCol,
-          t => pmod(xxhash64(concat(t, lit(":"), b.cast("string"))), lit(2L)) === 1L)) * 2
+        size(filter(hs,
+          h => pmod(pmod(h * (b.cast("long") * 131L + 137L) + b.cast("long") * 1000003L + 7L,
+            lit(P)), lit(2L)) === 1L)) * 2
           > nToks, 1).otherwise(0))
   }
 
@@ -123,19 +193,26 @@ object Dedup {
 
   /** SimHash near-duplicate candidates: band the bit vector into `chunks`
     * pieces; pairs sharing any chunk are verified by Hamming distance
-    * (pigeonhole: hamming <= chunks-1 guarantees a shared chunk).
+    * (pigeonhole: hamming <= chunks-1 guarantees a shared chunk). The chunk
+    * key is the packed chunk value itself (< 2^(bits/chunks)) — no hashing
+    * needed, trivially portable. `maxBucket` caps degenerate chunk values
+    * (e.g. the all-zero chunk at scale).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     val bitsPerChunk = SimhashBits / chunks
     val fp = df.select(col(idCol).as("id"),
       simhashBits(array_distinct(tokens(col(textCol)))).as("bits"))
-    val banded = fp.select(col("id"), col("bits"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => xxhash64(slice(col("bits"), c * bitsPerChunk + 1, lit(bitsPerChunk)))))
-        .as(Seq("chunk", "chash")))
+    val banded = capBuckets(
+      fp.select(col("id"), col("bits"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => aggregate(slice(col("bits"), c * bitsPerChunk + 1, lit(bitsPerChunk)),
+            lit(0L), (acc, x) => acc * 2 + x)))
+          .as(Seq("chunk", "ckey"))),
+      Seq("chunk", "ckey"), maxBucket)
     banded.as("x").join(banded.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.chash") === col("y.chash") &&
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         size(filter(zip_with(col("x.bits"), col("y.bits"), (p, q) => p =!= q),

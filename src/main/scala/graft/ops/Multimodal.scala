@@ -1,25 +1,79 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
   * with typed metadata; decode / feature-extract / frame-sample run as
   * `mapPartitions` over batched rows (the Scala analogue of mapInPandas —
   * one decoder instantiation per partition, not per row).
   *
-  * The actual codec step is STUBBED — this container ships no image/audio
-  * libraries — with a deterministic fake (byte statistics standing in for
-  * pixel decode). Everything around it is real and tested: schema, binary
-  * column handling, per-partition batching, partitioning of the feature
-  * output.
+  * The codec layer is a trait with two implementations: [[PgmCodec]] — a REAL
+  * decoder for binary PGM (P5) images, header parse + pixel statistics — and
+  * [[FakeCodec]], the deterministic byte-statistics stand-in kept for tests
+  * (this container ships no JPEG/audio libraries; richer codecs slot in
+  * behind the same trait). Everything around the codec is real and tested:
+  * schema, binary column handling, per-partition batching, partitioning of
+  * the feature output.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, media: Array[Byte], mime: String, n_bytes: Long)
+
+  /** Decoded features: image dimensions + integer pixel statistics
+    * (mean in per-mille so the output is integer-exact / oracle-checkable).
+    */
   final case class MediaFeatures(media_id: Long, n_bytes: Long, width: Int,
-      height: Int, features: Array[Float])
+      height: Int, pixel_sum: Long, mean_milli: Long)
+
+  /** A media codec: bytes → (width, height, pixel_sum). Constructed once per
+    * partition inside [[decodeFeatures]].
+    */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte]): (Int, Int, Long)
+  }
+
+  /** REAL codec: binary PGM (Netpbm P5, 8-bit). Parses the textual header
+    * (`P5\n<width> <height>\n<maxval>\n`), then folds the raster — width and
+    * height come from the BYTES, not from any side channel.
+    */
+  object PgmCodec extends MediaCodec {
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5',
+        "not a P5 PGM payload")
+      var i = 2
+      def skipWs(): Unit = { while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1 }
+      def readInt(): Int = {
+        skipWs()
+        var v = 0
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val width = readInt()
+      val height = readInt()
+      val maxval = readInt()
+      require(maxval == 255, s"only 8-bit PGM supported, got maxval=$maxval")
+      i += 1 // single whitespace after maxval, then the raster
+      var sum = 0L
+      val end = math.min(bytes.length, i + width * height)
+      while (i < end) { sum += (bytes(i) & 0xff); i += 1 }
+      (width, height, sum)
+    }
+  }
+
+  /** STUB codec kept for tests: deterministic byte statistics standing in for
+    * a library decode (JPEG etc.). The Spark-side contract it exercises —
+    * mapPartitions, per-partition init, typed output — is identical.
+    */
+  object FakeCodec extends MediaCodec {
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      val n = bytes.length
+      val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      ((n % 64) + 1, (sum % 64L).toInt + 1, sum)
+    }
+  }
 
   /** Wrap a text column as a binary media payload with typed metadata
     * (stand-in for reading real image/audio bytes at ingest).
@@ -31,38 +85,45 @@ object Multimodal {
       lit("application/octet-stream").as("mime"),
       octet_length(col(textCol)).cast("long").as("n_bytes"))
 
-  /** ===== STUB: decode step =====
-    * A real deployment decodes image bytes here (e.g. JPEG → HxWx3). The
-    * deterministic fake derives "dimensions" and a 4-dim "feature vector"
-    * from byte statistics so tests have stable expectations. The Spark-side
-    * shape — mapPartitions, one initialization per partition, typed output —
-    * is the real contract.
+  /** Render a text column as a REAL binary PGM image (P5): width =
+    * (n_bytes mod 16)+1, height = ceil(n_bytes/width) (min 1), raster = the
+    * text bytes NUL-padded to width·height. Deterministic, pure column ops —
+    * the ingest-side counterpart of [[PgmCodec]]; every derived quantity is
+    * SQL-derivable from the text, which is what makes the decode
+    * oracle-checkable end to end.
     */
-  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-    val n = bytes.length
-    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-    val width = (n % 64) + 1
-    val height = (sum % 64L).toInt + 1
-    val feats = Array(
-      n.toFloat,
-      (sum % 251L).toFloat,
-      if (n > 0) (bytes(0) & 0xff).toFloat else 0f,
-      if (n > 0) (bytes(n - 1) & 0xff).toFloat else 0f)
-    (width, height, feats)
-  }
+  def attachPgm(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("_t"))
+      .withColumn("_n", octet_length(col("_t")).cast("long"))
+      .withColumn("_w", pmod(col("_n"), lit(16L)) + 1L)
+      .withColumn("_h", greatest(lit(1L),
+        ceil(col("_n").cast("double") / col("_w").cast("double")).cast("long")))
+      .withColumn("_hdr", concat(lit("P5\n"), col("_w").cast("string"), lit(" "),
+        col("_h").cast("string"), lit("\n255\n")))
+      .withColumn("_pad", (col("_w") * col("_h") - col("_n")).cast("int"))
+      .select(
+        col("media_id"),
+        // NUL padding to the full raster (chr(0) encodes to a 0 byte)
+        encode(concat(col("_hdr"), col("_t"), expr("repeat(chr(0), _pad)")), "UTF-8")
+          .as("media"),
+        lit("image/x-portable-graymap").as("mime"),
+        (octet_length(col("_hdr")) + col("_w") * col("_h")).cast("long").as("n_bytes"))
 
   /** Decode + feature-extract over partitions (batch shape: the per-partition
-    * iterator — a real decoder would be constructed once per partition here).
+    * iterator — the codec is constructed/bound once per partition here, the
+    * mapInPandas batching contract).
     */
-  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: DataFrame, codec: MediaCodec = FakeCodec): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "media", "n_bytes").as(
       Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.scalaLong))
       .mapPartitions { it =>
-        // per-partition init of the (stubbed) decoder happens here
+        // per-partition codec binding happens here (one init, many rows)
+        val c = codec
         it.map { case (id, bytes, nb) =>
-          val (w, h, f) = fakeDecode(bytes)
-          MediaFeatures(id, nb, w, h, f)
+          val (w, h, sum) = c.decode(bytes)
+          val px = math.max(1L, w.toLong * h)
+          MediaFeatures(id, nb, w, h, sum, sum * 1000L / px)
         }
       }
   }

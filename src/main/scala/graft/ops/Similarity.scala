@@ -1,16 +1,25 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>). Brute-force cosine top-k is the exact baseline (broadcast
   * nested-loop with the query side broadcast); the scale path is IVF —
-  * k-means-style coarse quantization where each vector is searched only
-  * within its `nProbe` nearest centroid buckets — and sign-LSH bucketing.
-  * All dot products are one codegen'd `aggregate(zip_with(...))` expression;
-  * math in double for cross-engine determinism.
+  * trained coarse quantization (Lloyd rounds over sum-centroids) where each
+  * vector is searched only within its `nProbe` nearest centroid buckets —
+  * and sign-LSH bucketing.
+  *
+  * All ranking math runs on INTEGER-QUANTIZED vectors (floor(x·1000), the
+  * int8/int16-quantization standard practice for ANN at scale): dot products
+  * and norms are exact 64-bit integers, and the only floating point is the
+  * final `dot / sqrt(na2·nb2)` scalar — a fixed IEEE expression tree that any
+  * engine reproduces bit-for-bit. That makes every operator here
+  * DuckDB-oracle-checkable (no engine-specific hash, no float aggregation).
+  * The codegen'd float kernel ([[graft.functions.FloatVecDot]]) remains the
+  * hot-path primitive for in-engine float scans.
   */
 object Similarity {
 
@@ -27,90 +36,157 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Integer quantization: q_d = floor(x_d · scale) as long. */
+  def quantize(vecCol: Column, scale: Int = 1000): Column =
+    transform(vecCol, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic cosine ranking key: dot/sqrt(na2·nb2) with the
+    * multiplication done in double (na2, nb2 < 2^53 so the casts are exact and
+    * the result is the same IEEE double in every engine).
+    */
+  private def cosKey(dotC: Column, na2: Column, nb2: Column): Column =
+    dotC.cast("double") / sqrt(na2.cast("double") * nb2.cast("double"))
+
+  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+      .withColumn("n2", qdot(col("q"), col("q")))
+      .filter(col("n2") > 0)
+
   /** Exact brute-force cosine top-k for every vector (excluding itself).
-    * @return (vec_id, neighbor_id, rank) — scores deliberately not emitted
-    *         (float-sum ordering is engine-specific; ranks are stable for
-    *         non-adversarial data).
+    * @return (vec_id, neighbor_id, rank) — integer-exact ranking over
+    *         quantized vectors; no float column in the output.
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
-    val pairs = v.as("q").join(broadcast(v.as("c")), col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("vec_id"), col("c.id").as("neighbor_id"),
-        (dot(col("q.vec"), col("c.vec")) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+    val v = quantized(df, idCol, vecCol)
+    val pairs = v.as("a").join(broadcast(v.as("b")), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
+        cosKey(qdot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("ck"))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+      .orderBy(col("ck").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "rank")
+      .select(col("vec_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
-  /** IVF (inverted-file) ANN: deterministic coarse centroids (every m-th
-    * vector), assign each vector to its `nProbe` nearest centroids, search
-    * only within shared buckets. Returns the same shape as bruteForceTopK;
-    * recall measured in tests.
+  /** IVF (inverted-file) ANN with TRAINED centroids: deterministic
+    * hash-ordered seeding of ~√N centroids, `lloydRounds` spherical-k-means
+    * rounds (centroid = per-dimension SUM vector — same direction as the
+    * mean, so cosine assignment is identical and stays integer-exact), then
+    * each vector probes its `nProbe` nearest centroids and candidates share a
+    * bucket. Centroids live on the driver between rounds (√N rows — that is
+    * the IVF contract: the coarse codebook fits in memory; at 100 TB the sums
+    * normalize to means to bound magnitudes).
+    *
+    * @param nCentroids 0 → ceil(sqrt(N)) (the standard IVF sizing)
+    * @return (vec_id, neighbor_id, rank), same shape as [[bruteForceTopK]]
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"))
-    // deterministic pseudo-random centroid pick: first nCentroids in hash
-    // order (cheap stand-in for k-means; swap in trained centroids at scale)
-    val centroids = v.orderBy(xxhash64(col("id")), col("id"))
-      .limit(nCentroids)
-      .select(col("id").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = v.join(broadcast(centroids), expr("true"))
-      .withColumn("csim", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= nProbe)
-      .select(col("id"), col("vec"), col("nrm"), col("cid"))
-    val pairs = assigned.as("q").join(assigned.as("c"),
-        col("q.cid") === col("c.cid") && col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("vec_id"), col("c.id").as("neighbor_id"),
-        (dot(col("q.vec"), col("c.vec")) / (col("q.nrm") * col("c.nrm"))).as("cos"))
-      .groupBy("vec_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+      nCentroids: Int = 0, nProbe: Int = 2, lloydRounds: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val v = quantized(df, idCol, vecCol).persist()
+    val nVec = v.count()
+    val nc = if (nCentroids > 0) nCentroids else math.ceil(math.sqrt(nVec.toDouble)).toInt
+    // deterministic portable seeding: first nc vectors in polynomial-hash order
+    val seedOrd = pmod(col("id").cast("long") * 1000003L + 12345L, lit(1000000007L))
+
+    val centSchema = StructType(Seq(StructField("cid", LongType),
+      StructField("s", ArrayType(LongType)), StructField("s2", LongType)))
+    def centDf(cents: Seq[(Long, Array[Long])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cents.map { case (cid, s) =>
+          Row(cid, s.toSeq, s.map(x => x * x).sum)
+        }, 1), centSchema)
+
+    var cents: Seq[(Long, Array[Long])] = v.orderBy(seedOrd, col("id"))
+      .limit(nc).collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Long](1).toArray) }
+
+    def assign(maxRank: Int): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("ck").desc, col("cid").asc)
+      v.crossJoin(broadcast(centDf(cents).filter(col("s2") > 0)))
+        .withColumn("ck", cosKey(qdot(col("q"), col("s")), col("n2"), col("s2")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= maxRank)
+        .select(col("id"), col("q"), col("n2"), col("cid"))
+    }
+
+    for (_ <- 1 to lloydRounds) {
+      // recompute sum-centroids from the nearest-1 assignment
+      val sums = assign(1)
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d")).agg(sum(col("x")).as("sm"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        val arr = rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+        (cid, arr)
+      }.sortBy(_._1)
+    }
+
+    val probed = assign(nProbe)
+    val cands = probed.as("a").join(probed.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"))
+      .distinct()
+    val ranked = cands
+      .join(v.select(col("id").as("vec_id"), col("q").as("qa"), col("n2").as("na2")),
+        Seq("vec_id"))
+      .join(v.select(col("id").as("neighbor_id"), col("q").as("qb"), col("n2").as("nb2")),
+        Seq("neighbor_id"))
+      .withColumn("ck", cosKey(qdot(col("qa"), col("qb")), col("na2"), col("nb2")))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+      .orderBy(col("ck").desc, col("neighbor_id").asc)
+    val out = ranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "rank")
+      .select(col("vec_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    // training actions are done; release the cache (the returned lazy plan
+    // recomputes the cheap quantization instead of pinning executor memory)
+    v.unpersist(blocking = false)
+    out
   }
 
-  /** Sign-LSH bucketing: project on `nPlanes` deterministic pseudo-random
-    * hyperplanes, bucket by the sign pattern — candidate generation for
-    * embedding-cosine near-dup detection at scale.
+  /** Sign-LSH bucketing on quantized vectors: `nPlanes` pseudo-random ±1
+    * hyperplanes from a portable integer mix (the product-of-affine-forms
+    * wraps mod 1e9+7 before the parity test — taking parity of a bare affine
+    * form in (p, d) would collapse to a checkerboard). Projections are exact
+    * integers; the bucket is the packed sign pattern.
     */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int = 12): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // plane p, dim d weight: deterministic hash-based in {-1, +1}
+    val v = quantized(df, idCol, vecCol)
+    def weight(p: Column, d: Column): Column = {
+      val m = pmod((p.cast("long") * 1000003L + d.cast("long") * 7919L + 12345L) *
+        (p.cast("long") * 7919L + d.cast("long") * 1000003L + 54321L), lit(1000000007L))
+      when(pmod(m, lit(2L)) === 1L, 1L).otherwise(-1L)
+    }
     val bucket = aggregate(
       sequence(lit(0), lit(nPlanes - 1)),
       lit(0L),
       (acc, p) => acc * 2 + when(
         aggregate(
-          zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
-            (x, d) => x.cast("double") *
-              (pmod(xxhash64(concat(p.cast("string"), lit("_"), d.cast("string"))), lit(2L))
-                .cast("double") * 2.0 - 1.0)),
-          lit(0.0), (a, x) => a + x) > 0, 1L).otherwise(0L))
+          zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
+            (x, d) => x * weight(p, d)),
+          lit(0L), (a, x) => a + x) > 0, 1L).otherwise(0L))
     v.withColumn("bucket", bucket)
   }
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH candidates + exact
-    * verification: pairs in the same bucket with cosine >= threshold.
+    * integer verification: same-bucket pairs with
+    * cos ≥ thresholdPct/100 ⟺ dot ≥ 0 ∧ 10000·dot² ≥ pct²·na2·nb2 —
+    * pure 64-bit integer arithmetic end to end.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 10): DataFrame = {
+      thresholdPct: Int, nPlanes: Int = 10): DataFrame = {
     val b = signLshBuckets(df, idCol, vecCol, nPlanes)
-      .withColumn("nrm", norm(col("vec")))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cos",
-        dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")))
-      .filter(col("cos") >= threshold)
-      .select(col("x.id").as("a"), col("y.id").as("b"), col("cos"))
+      .withColumn("dot", qdot(col("x.q"), col("y.q")))
+      .filter(col("dot") >= 0 &&
+        col("dot") * col("dot") * 10000L >=
+          lit(thresholdPct.toLong * thresholdPct) * col("x.n2") * col("y.n2"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
   }
 }

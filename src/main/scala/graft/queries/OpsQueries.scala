@@ -59,11 +59,14 @@ object OpsQueries {
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_frames"), sum(col("frame_bytes")).as("total_bytes"))
 
-  /** Decoded (stubbed codec, real plumbing) media features. */
+  /** Real codec path: text rendered as binary PGM images, decoded back by
+    * header parse + pixel statistics — integer-exact, DuckDB-oracled.
+    */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeFeatures(
-      Multimodal.attach(tbl(s, d, "documents"), "doc_id", "text"))
-      .toDF().select("media_id", "n_bytes", "width", "height")
+      Multimodal.attachPgm(tbl(s, d, "documents"), "doc_id", "text"),
+      Multimodal.PgmCodec)
+      .toDF().select("media_id", "n_bytes", "width", "height", "pixel_sum", "mean_milli")
 
   def embedStats(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings").groupBy("label")
@@ -71,21 +74,25 @@ object OpsQueries {
         min(size(col("embedding"))).as("min_dim"),
         max(size(col("embedding"))).as("max_dim"))
 
-  /** Brute-force cosine top-k on a 5% sample (exact ANN baseline). */
+  /** Brute-force cosine top-k on a 5% sample (exact ANN baseline;
+    * integer-quantized ranking — DuckDB-oracled).
+    */
   def annBruteTopK(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(
       tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(20)) === 0),
       "vec_id", "embedding", k = 5)
 
-  /** IVF ANN on the same sample (scale path; recall vs brute in OpsSpec). */
+  /** IVF ANN on the same sample: trained √N centroids, 2 Lloyd rounds,
+    * 3-probe — the scale path, reproduced step-for-step by the DuckDB oracle.
+    */
   def annIvfTopK(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(
       tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(20)) === 0),
-      "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 3)
+      "vec_id", "embedding", k = 5, nCentroids = 0, nProbe = 3)
 
   def embedNearDups(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingNearDups(
       tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0),
-      "vec_id", "embedding", threshold = 0.15, nPlanes = 4)
+      "vec_id", "embedding", thresholdPct = 15, nPlanes = 4)
       .select(col("a"), col("b"))
 }

@@ -321,5 +321,193 @@ object Oracles {
       """SELECT label, count(*) AS n,
         |       CAST(min(len(embedding)) AS INT) AS min_dim,
         |       CAST(max(len(embedding)) AS INT) AS max_dim
-        |FROM embeddings GROUP BY label""".stripMargin)
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    // ---- portable-hash LSH / quantized ANN family ----
+    // Every hash below is the polynomial char hash mod 1e9+7 plus affine
+    // integer mixing — the exact arithmetic the Spark operators run, so the
+    // whole dedup/ANN story is driver-verified, not just in-engine-tested.
+
+    "dedup_minhash_lsh" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (
+        |  SELECT doc_id AS id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM docs),
+        |nz AS (SELECT id, toks FROM toks WHERE len(toks) > 0),
+        |hs AS (
+        |  SELECT id, toks, list_transform(toks, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+        |  FROM nz),
+        |sigs AS (
+        |  SELECT id, list_transform(range(0, 32), i ->
+        |    list_min(list_transform(hs, h ->
+        |      (h * ((i*1103515245+12345) % 2147483646 + 1)
+        |       + (i*134775813+1) % 2147483647) % 2147483647))) AS sig
+        |  FROM hs),
+        |banded AS (
+        |  SELECT id, b AS band,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+        |           (acc, x) -> (acc*1000003 + x) % 1000000007) AS bhash
+        |  FROM sigs, unnest(range(0, 8)) AS t(b)),
+        |cands AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id)
+        |SELECT c.a, c.b,
+        |       CAST(len(list_intersect(ta.toks, tb.toks)) AS INT) AS inter,
+        |       CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS INT) AS uni
+        |FROM cands c JOIN nz ta ON c.a = ta.id JOIN nz tb ON c.b = tb.id
+        |WHERE len(list_intersect(ta.toks, tb.toks)) * 100
+        |      >= 80 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |toks AS (
+        |  SELECT doc_id AS id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM docs),
+        |hs AS (
+        |  SELECT id, len(toks) AS nt, list_transform(toks, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+        |  FROM toks),
+        |bits AS (
+        |  SELECT id, list_transform(range(0, 48), b ->
+        |    CASE WHEN 2 * len(list_filter(hs, h ->
+        |      (h*(b*131+137) + b*1000003 + 7) % 1000000007 % 2 = 1)) > nt
+        |    THEN 1 ELSE 0 END) AS bits
+        |  FROM hs),
+        |banded AS (
+        |  SELECT id, bits, c AS chunk,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), bits[c*12+1 : c*12+12]),
+        |           (acc, x) -> acc*2 + x) AS ckey
+        |  FROM bits, unnest(range(0, 4)) AS t(c))
+        |SELECT DISTINCT x.id AS a, y.id AS b,
+        |       CAST(len(list_filter(range(1, 49), i -> x.bits[i] <> y.bits[i])) AS INT) AS hamming
+        |FROM banded x JOIN banded y
+        |  ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.id < y.id
+        |WHERE len(list_filter(range(1, 49), i -> x.bits[i] <> y.bits[i])) <= 3""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |n0 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+        |       FROM v),
+        |n AS (SELECT * FROM n0 WHERE n2 > 0),
+        |ranked AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |           CAST(CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i])) AS BIGINT) AS DOUBLE)
+        |             / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) DESC,
+        |           b.vec_id ASC) AS rank
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |n0 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+        |       FROM v),
+        |n AS (SELECT * FROM n0 WHERE n2 > 0),
+        |k AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM n),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY (vec_id*1000003+12345) % 1000000007, vec_id) AS cid,
+        |         q AS s
+        |  FROM n QUALIFY cid <= (SELECT nc FROM k)),
+        |cn0 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c0),
+        |a1 AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |    CAST(CAST(list_sum(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c.s[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(c.s2 AS DOUBLE)) DESC, cid ASC) AS rn
+        |  FROM n JOIN cn0 c ON c.s2 > 0 QUALIFY rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(sm ORDER BY i) AS s FROM (
+        |    SELECT a1.cid, t.i, CAST(sum(n.q[t.i]) AS BIGINT) AS sm
+        |    FROM a1 JOIN n USING (vec_id), unnest(range(1, 65)) AS t(i)
+        |    GROUP BY a1.cid, t.i)
+        |  GROUP BY cid),
+        |cn1 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c1),
+        |a2 AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |    CAST(CAST(list_sum(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c.s[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(c.s2 AS DOUBLE)) DESC, cid ASC) AS rn
+        |  FROM n JOIN cn1 c ON c.s2 > 0 QUALIFY rn = 1),
+        |c2 AS (
+        |  SELECT cid, list(sm ORDER BY i) AS s FROM (
+        |    SELECT a2.cid, t.i, CAST(sum(n.q[t.i]) AS BIGINT) AS sm
+        |    FROM a2 JOIN n USING (vec_id), unnest(range(1, 65)) AS t(i)
+        |    GROUP BY a2.cid, t.i)
+        |  GROUP BY cid),
+        |cn2 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c2),
+        |probe AS (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |    CAST(CAST(list_sum(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c.s[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(c.s2 AS DOUBLE)) DESC, cid ASC) AS rn
+        |  FROM n JOIN cn2 c ON c.s2 > 0 QUALIFY rn <= 3),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+        |  FROM probe a JOIN probe b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT c.vec_id, c.neighbor_id, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |    CAST(CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE)) DESC, c.neighbor_id ASC) AS rank
+        |  FROM cands c JOIN n x ON c.vec_id = x.vec_id JOIN n y ON c.neighbor_id = y.vec_id)
+        |SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "embed_near_dups" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |n0 AS (SELECT id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+        |       FROM v),
+        |n AS (SELECT * FROM n0 WHERE n2 > 0),
+        |b AS (
+        |  SELECT id, q, n2,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 4), p ->
+        |      CASE WHEN CAST(list_sum(list_transform(range(1, len(q)+1), i ->
+        |        q[i] * (CASE WHEN ((p*1000003 + (i-1)*7919 + 12345)
+        |                          * (p*7919 + (i-1)*1000003 + 54321))
+        |                          % 1000000007 % 2 = 1 THEN 1 ELSE -1 END)
+        |      )) AS BIGINT) > 0 THEN 1 ELSE 0 END)),
+        |      (acc, x) -> acc*2 + x) AS bucket
+        |  FROM n)
+        |SELECT x.id AS a, y.id AS b
+        |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+        |WHERE CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT) >= 0
+        |  AND CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT)
+        |      * CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT)
+        |      * 10000 >= 225 * x.n2 * y.n2""".stripMargin,
+
+    "multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n,
+        |         COALESCE(list_sum(list_transform(
+        |           list_filter(string_split(text, ''), c -> c <> ''),
+        |           c -> CAST(ascii(c) AS BIGINT))), 0) AS px_sum
+        |  FROM documents),
+        |d AS (
+        |  SELECT media_id, n, px_sum,
+        |         n % 16 + 1 AS w,
+        |         GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) / (n % 16 + 1)) AS BIGINT)) AS h
+        |  FROM m)
+        |SELECT media_id,
+        |       CAST(strlen('P5' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))
+        |            + w * h AS BIGINT) AS n_bytes,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(px_sum AS BIGINT) AS pixel_sum,
+        |       CAST(px_sum * 1000 // (w * h) AS BIGINT) AS mean_milli
+        |FROM d""".stripMargin)
 }

@@ -108,12 +108,40 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall=$recall")
   }
 
-  test("embedding near-dups via sign-LSH: precision exact") {
+  test("embedding near-dups via sign-LSH: precision exact (integer verify)") {
     val got = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
-        threshold = 0.95, nPlanes = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.forall(_._3 >= 0.95))
+        thresholdPct = 95, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute the integer threshold test from the raw vectors: every
+    // emitted pair must pass it (precision exact by construction)
+    val qs = vecs.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+    def n2(q: Array[Long]) = q.map(x => x * x).sum
+    got.foreach { case (a, b) =>
+      val dot = qs(a).zip(qs(b)).map(p => p._1 * p._2).sum
+      assert(dot >= 0 && dot * dot * 10000L >= 95L * 95L * n2(qs(a)) * n2(qs(b)),
+        s"pair ($a,$b) fails the integer cosine threshold")
+    }
     assert(got.nonEmpty) // same-cluster vectors are >0.95
+  }
+
+  test("minhash-LSH: df-cap and bucket cap preserve precision") {
+    // maxDf below the corpus size prunes ubiquitous tokens; pairs must still
+    // verify exactly on the CAPPED sets (consistent semantics)
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        numHashes = 32, bands = 8, thresholdPct = 70, maxDf = 30L, maxBucket = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((capped -- bruteJaccard(60)).isEmpty) // capped sets can only raise jaccard slightly
+    // diagnostic path: an absurdly low cap reports dropped buckets
+    val sigs = corpus.select(col("doc_id").as("id"),
+      Dedup.minhashSig(array_distinct(filter(split(col("text"), "\\s+"),
+        t => length(t) > 0)), 32).as("sig"))
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(7)),
+        b => element_at(col("sig"), 1))).as(Seq("band", "bhash")))
+    val (nb, nr) = Dedup.countOverfullBuckets(banded, Seq("band", "bhash"), 1L)
+    assert(nb > 0 && nr > 0)
   }
 
   test("multimodal: attach → stubbed decode → frame sampling plumbing") {
@@ -122,14 +150,36 @@ class OpsSpec extends AnyFunSuite {
     assert(media.schema("media").dataType.typeName == "binary")
     val feats = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
     assert(feats(1L).n_bytes == 100 && feats(2L).n_bytes == 2)
-    assert(feats(1L).features.length == 4)
+    assert(feats(1L).pixel_sum == 97L * 100) // 'a' = 0x61
     // determinism: same input → same fake features
     val again = Multimodal.decodeFeatures(media).collect().map(f => f.media_id -> f).toMap
-    assert(feats(1L).features.toSeq == again(1L).features.toSeq)
+    assert(feats(1L) == again(1L))
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     // doc 1: 100 bytes → frames at 0(32B),2(32B) sampled; idx1,3 skipped
     assert(frames.filter(_._1 == 1L).map(f => (f._2, f._3)).toSet == Set((0, 32), (2, 32)))
+  }
+
+  test("multimodal: PGM render → REAL header-parsing codec round-trip") {
+    val d = docs((1L, "a" * 100), (2L, "bb"), (3L, ""))
+    val media = Multimodal.attachPgm(d, "doc_id", "text")
+    val feats = Multimodal.decodeFeatures(media, Multimodal.PgmCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    // 100 bytes → w = 100%16+1 = 5, h = ceil(100/5) = 20, no padding
+    assert(feats(1L).width == 5 && feats(1L).height == 20)
+    assert(feats(1L).pixel_sum == 97L * 100)
+    assert(feats(1L).mean_milli == 97L * 100 * 1000 / 100)
+    // 2 bytes → w = 3, h = 1, one NUL pad byte (contributes 0 to the sum)
+    assert(feats(2L).width == 3 && feats(2L).height == 1)
+    assert(feats(2L).pixel_sum == 2L * 98)
+    // empty text → 1x1 all-pad image, sum 0
+    assert(feats(3L).width == 1 && feats(3L).height == 1 && feats(3L).pixel_sum == 0)
+    // the decoder really parses bytes: a corrupted magic number must throw
+    val bad = media.withColumn("media",
+      org.apache.spark.sql.functions.encode(lit("P6\n1 1\n255\nx"), "UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(bad, Multimodal.PgmCodec).collect()
+    }
   }
 
   test("text analysis: quality/langid/token counts on crafted inputs") {
