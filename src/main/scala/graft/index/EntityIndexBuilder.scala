@@ -112,7 +112,15 @@ object EntityIndexBuilder {
     * `(qid, label, desc, count, types, aliases, seq)` (unique qids — asserted
     * upstream per `kg-entities.rs:140`). Output: `(surface, info, id, kind)`.
     */
-  def build(entities: DataFrame, cfg: EntityIndexConfig = EntityIndexConfig()): DataFrame = {
+  def build(entities: DataFrame, cfg: EntityIndexConfig = EntityIndexConfig()): DataFrame =
+    buildTracked(entities, cfg)._1
+
+  /** [[build]] plus handles to the persisted intermediates, so callers that
+    * materialize the result (e.g. the pipeline's stage write) can
+    * `unpersist` them instead of leaking cached blocks until LRU pressure.
+    */
+  def buildTracked(entities: DataFrame,
+      cfg: EntityIndexConfig = EntityIndexConfig()): (DataFrame, Seq[DataFrame]) = {
     val withInf = withInfo(entities, cfg)
     val uniq = uniqueAliases(entities)
 
@@ -220,6 +228,7 @@ object EntityIndexBuilder {
       .select(col("alias").as("surface"), col("info"),
         col("qid").as("id"), lit(AliasInfo).as("kind"))
 
-    e1.union(e3Plain).union(e34Info).union(e5Plain).union(e5Info)
+    (e1.union(e3Plain).union(e34Info).union(e5Plain).union(e5Info),
+      Seq(cand, aliasCand, plainWinners))
   }
 }

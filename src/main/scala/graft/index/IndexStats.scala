@@ -13,17 +13,31 @@ object IndexStats {
 
   /** Entity-index stats: totals, per-stage uniques, final coverage.
     * `index` = (surface, info?, id, kind); `entities` = canonical dump.
+    *
+    * `unique_by_label` counts E1 entries ONLY (the reference's
+    * num_label_unique, `kg-entities.rs:277`): kind-0 entries whose surface is
+    * a size-1 label group in the dump. (Kind 0 alone would also count E3
+    * plain-slot fallbacks from colliding labels and overstate E1 coverage;
+    * for size-1 groups E1 and E3 coincide — an overridden single-label entity
+    * is rerouted to the info slot in both.)
     */
   def entityStats(spark: SparkSession, index: DataFrame, entities: DataFrame): DataFrame = {
     import spark.implicits._
-    val numEnts = entities.count()
+    // one job for the dump-side scalars
+    val entAgg = entities
+      .agg(count(lit(1)).as("n"), coalesce(sum(size(col("aliases"))), lit(0L)).as("na"))
+      .collect()(0)
+    val numEnts = entAgg.getLong(0)
+    val totalAliases = entAgg.getLong(1)
     val byKind = index.groupBy("kind").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
-    val numLabelUnique = byKind(0)
+    val labelSizes = entities.groupBy(col("label")).agg(count(lit(1)).as("grp_n"))
+    val numLabelUnique = index.filter(col("kind") === 0)
+      .join(labelSizes, index("surface") === labelSizes("label"), "left")
+      .filter(col("grp_n") === 1).count()
     val numLabelInfo = byKind(0) + byKind(1)
-    val total = index.count()
+    val total = byKind.values.sum
     val covered = index.select("id").distinct().count()
-    val totalAliases = entities.select(explode(col("aliases"))).count()
     def pct(a: Long, b: Long): Double = if (b == 0) 0.0 else 100.0 * a / b
     Seq(
       ("entities", numEnts.toDouble),

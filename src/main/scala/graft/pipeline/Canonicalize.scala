@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Union-find canonicalization as distributed connected components over a
@@ -10,21 +10,43 @@ import org.apache.spark.sql.functions._
   * min-label propagation).
   *
   * Node ids are strings (qids); the canonical representative of a component
-  * is its lexicographic minimum. Each round is two shuffles (groupBy node);
-  * `localCheckpoint` cuts lineage per iteration so plans stay bounded —
-  * Catalyst cannot express fixpoints, this loop is the documented exception
-  * (SURVEY.md §4.2).
+  * is its lexicographic minimum.
+  *
+  * Scale hardening (VERDICT r01 #5):
+  *  - lineage is cut per round by `localCheckpoint` by default — but local
+  *    checkpoints die with their executor, so cluster runs pass a
+  *    `checkpointDir` and get RELIABLE `checkpoint()` to shared storage
+  *    (a lost executor mid-fixpoint then recovers instead of failing the job);
+  *  - the per-node min-reductions are two-phase salted on the NEIGHBOR value
+  *    (content hash, deterministic under recompute): a giant star funnels
+  *    every neighbor into one groupBy key, and while map-side partial
+  *    aggregation bounds reducer input to one row per map partition, the
+  *    pathological one-map-partition-per-hot-key layout does arise after
+  *    skewed joins — the salt makes the bound unconditional. min is
+  *    idempotent/associative so the result is bit-identical.
   */
 object Canonicalize {
+
+  /** Two-phase min: phase 1 groups by (key, hash(value) mod saltN), phase 2
+    * reduces the ≤saltN partials. Identical result to a direct groupBy-min.
+    */
+  private def saltedMin(df: DataFrame, key: String, valCol: String,
+      saltN: Int): DataFrame =
+    if (saltN <= 1)
+      df.groupBy(col(key)).agg(min(col(valCol)).as(valCol))
+    else
+      df.withColumn("_s", pmod(xxhash64(col(valCol)), lit(saltN.toLong)))
+        .groupBy(col(key), col("_s")).agg(min(col(valCol)).as(valCol))
+        .groupBy(col(key)).agg(min(col(valCol)).as(valCol))
 
   /** large-star: connect every neighbor strictly larger than u to
     * min(u ∪ N(u)).
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private def largeStar(edges: DataFrame, saltN: Int): DataFrame = {
     val und = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = und.groupBy("u").agg(min(col("v")).as("mn"))
-      .select(col("u").as("lu"), least(col("lu"), col("mn")).as("m"))
+    val mins = saltedMin(und, "u", "v", saltN)
+      .select(col("u").as("lu"), least(col("lu"), col("v")).as("m"))
     und.join(mins, col("u") === col("lu"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
@@ -34,11 +56,11 @@ object Canonicalize {
   /** small-star: for u > v edges, connect every smaller neighbor (and u) to
     * min(u ∪ smaller-N(u)).
     */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private def smallStar(edges: DataFrame, saltN: Int): DataFrame = {
     val dir = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    val mins = saltedMin(dir, "u", "v", saltN).select(col("u"), col("v").as("m"))
     dir.join(mins, Seq("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .union(mins.select(col("u"), col("m").as("v")))
@@ -49,14 +71,26 @@ object Canonicalize {
   /** Run to fixpoint; returns the canonical mapping (node, canonical_id)
     * covering every node that appears in `edges` (singletons absent — callers
     * coalesce missing nodes to themselves).
+    *
+    * @param checkpointDir reliable checkpoint location for cluster runs;
+    *                      None → executor-local checkpoints (single-node use)
+    * @param skewSaltN     salt fan-out for the min-reductions (1 disables)
     */
-  def connectedComponents(edges0: DataFrame, maxIter: Int = 25): DataFrame = {
-    var edges = edges0.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None, skewSaltN: Int = 16): DataFrame = {
+    val spark = edges0.sparkSession
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    var edges = cut(edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = cut(smallStar(largeStar(edges, skewSaltN), skewSaltN))
       // fixpoint: the edge set is stable. One job: count + order-insensitive
       // checksum of old and new edge sets side by side.
       val check = edges.select(lit(0).as("side"), col("u"), col("v"))

@@ -17,7 +17,10 @@ import graft.io.ManifestStore
   *
   * Every stage is a pure DataFrame→DataFrame function; `run` wires them
   * through a [[ManifestStore]] so the job resumes idempotently from the last
-  * committed stage.
+  * committed stage. Stage fingerprints CHAIN: each stage's fingerprint folds
+  * in its parents' fingerprints plus the caller's `inputVersion`, so editing
+  * config, inputs (via the version) or any upstream stage invalidates exactly
+  * the downstream stages.
   */
 object KgPipeline {
 
@@ -54,17 +57,27 @@ object KgPipeline {
       .drop("rn")
   }
 
-  /** Co-reference + redirect edges for canonicalization: redirect pairs
-    * connect an entity with its redirect targets; mention co-reference
-    * connects ids that share an identical surface within one conversation
-    * (cheap consecutive-pair linking — CC closes the chain).
+  /** Co-reference + redirect edges for canonicalization. Redirect pairs
+    * connect an entity with its redirect targets. Mention co-reference
+    * connects DISTINCT ids whose rendered surfaces share the same BASE
+    * surface (the rendering minus a trailing " (info)" disambiguator) within
+    * one conversation — i.e. a conversation mentioning both "Springfield" and
+    * "Springfield (Illinois)" treats the plain-surface entity and the
+    * disambiguated one as co-referent. The dictionary maps each RENDERED
+    * surface to exactly one id, so stripping the disambiguation is what makes
+    * distinct ids meet (grouping by the rendered surface would be a provable
+    * no-op — one id per group). Star edges to the group minimum keep the edge
+    * count linear; CC closes the chain.
     */
   def coreferenceEdges(mentions: DataFrame, redirects: DataFrame): DataFrame = {
     val redirectEdges = redirects
       .select(col("qid").as("u"), explode(col("redirects")).as("v"))
     val surfaceEdges = mentions
       .filter(!col("is_prop"))
-      .groupBy(col("conv_id"), col("surface"))
+      .select(col("conv_id"),
+        regexp_replace(col("surface"), " \\([^()]*\\)$", "").as("base"),
+        col("id"))
+      .groupBy(col("conv_id"), col("base"))
       .agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("u"), array_min(col("ids")).as("v"))
@@ -72,6 +85,17 @@ object KgPipeline {
     redirectEdges.unionByName(surfaceEdges).distinct()
   }
 
+  /** @param inputVersion caller-supplied identity of the INPUT DATA (e.g. a
+    *                     snapshot id, source path + mtime, or synth params).
+    *                     Folded into every fingerprint: re-running against the
+    *                     same outDir with different inputs must pass a new
+    *                     version or stale stage outputs would be resumed.
+    * @param checkpointDir reliable CC checkpoint location (cluster runs);
+    *                      None → executor-local checkpoints
+    * @param dictBroadcastMaxRows dictionary rows above which mention detection
+    *                             switches from the broadcast trie scan to the
+    *                             shuffle join (see [[Mentions.detectAuto]])
+    */
   def run(
       spark: SparkSession,
       transcripts: DataFrame,
@@ -80,12 +104,22 @@ object KgPipeline {
       redirects: DataFrame,
       outDir: String,
       cfg: EntityIndexConfig = EntityIndexConfig(),
-      saltN: Int = 16): Result = {
+      saltN: Int = 16,
+      inputVersion: String = "unversioned",
+      checkpointDir: Option[String] = None,
+      dictBroadcastMaxRows: Long = 20000000L): Result = {
 
     val store = new ManifestStore(spark, outDir)
     val t0 = System.currentTimeMillis()
     val metricsRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Boolean)]
-    def timed(stage: String, fp: String, partitionBy: Seq[String] = Nil)(f: => DataFrame): DataFrame = {
+    // fingerprint chain: stage fp = base config + input version + parent fps
+    val baseFp = s"cfg=$cfg;saltN=$saltN;iv=$inputVersion"
+    val chain = scala.collection.mutable.Map.empty[String, String]
+    def timed(stage: String, parents: Seq[String],
+        partitionBy: Seq[String] = Nil)(f: => DataFrame): DataFrame = {
+      val fp = s"$baseFp;stage=$stage;parents=[" +
+        parents.map(p => s"$p=${chain(p).hashCode}").mkString(",") + "]"
+      chain(stage) = fp
       val s = System.currentTimeMillis()
       val (df, resumed) = store.runStage(stage, fp, partitionBy)(f)
       metricsRows += ((stage, store.rowCountOf(stage).getOrElse(-1L),
@@ -93,40 +127,38 @@ object KgPipeline {
       df
     }
 
-    // fingerprints chain stage → stage (lineage); config participates so a
-    // flag change invalidates downstream stages.
-    val baseFp = s"cfg=$cfg;saltN=$saltN"
-
-    val entityIndex = timed("entity_index", s"$baseFp;src=entities") {
-      EntityIndexBuilder.build(entities, cfg)
-    }
-    val propertyIndex = timed("property_index", s"$baseFp;src=properties") {
+    val (entityIndexRaw, entityCaches) = EntityIndexBuilder.buildTracked(entities, cfg)
+    val entityIndex = timed("entity_index", Nil) { entityIndexRaw }
+    // the stage is materialized — release the builder's cached intermediates
+    entityCaches.foreach(_.unpersist(blocking = false))
+    val propertyIndex = timed("property_index", Nil) {
       PropertyIndexBuilder.build(properties)
     }
     val dict = dictionary(entityIndex, entities, propertyIndex, properties)
 
-    val mentions = timed("mentions", s"$baseFp;after=indices") {
-      Mentions.detectFast(transcripts, dict)
+    val mentions = timed("mentions", Seq("entity_index", "property_index")) {
+      Mentions.detectAuto(transcripts, dict, broadcastMaxRows = dictBroadcastMaxRows)
     }
-    val scores = timed("link_scores", s"$baseFp;after=mentions") {
+    val scores = timed("link_scores", Seq("mentions")) {
       SaltedAgg.linkScores(mentions, saltN)
     }
-    val triples = timed("triples", s"$baseFp;after=mentions") {
+    val triples = timed("triples", Seq("mentions")) {
       Triples.extractFast(mentions)
     }
-    val canon = timed("canonical_map", s"$baseFp;after=triples") {
-      Canonicalize.connectedComponents(coreferenceEdges(mentions, redirects))
+    val canon = timed("canonical_map", Seq("mentions")) {
+      Canonicalize.connectedComponents(
+        coreferenceEdges(mentions, redirects), checkpointDir = checkpointDir)
     }
-    val canonTriples = timed("triples_canonical", s"$baseFp;after=canonical_map") {
+    val canonTriples = timed("triples_canonical", Seq("triples", "canonical_map")) {
       Canonicalize.canonicalizeTriples(triples, canon)
     }
-    val nodes = timed("nodes", s"$baseFp;after=triples_canonical") {
+    val nodes = timed("nodes", Seq("triples_canonical")) {
       val ids = canonTriples.select(col("subj").as("id"))
         .union(canonTriples.select(col("obj").as("id"))).distinct()
       ids.join(entities.select(col("qid").as("id"), col("label"), col("count")),
         Seq("id"), "left")
     }
-    val edges = timed("edges", s"$baseFp;after=triples_canonical") {
+    val edges = timed("edges", Seq("triples_canonical")) {
       canonTriples.groupBy(col("subj").as("src"), col("pred").as("pid"),
         col("obj").as("dst"))
         .agg(count(lit(1)).as("weight"), sum(col("score")).as("score"))

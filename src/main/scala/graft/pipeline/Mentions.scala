@@ -4,15 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batched mention detection (SURVEY.md §2.9): token n-grams of every turn
-  * joined against the broadcast natural-language index, then overlap
-  * resolution by a non-recursive longest-match dominance rule.
+  * joined against the natural-language index, then overlap resolution by a
+  * non-recursive longest-match dominance rule.
   *
-  * Spark-first: the n-gram generate is a single codegen'd higher-order
-  * expression (no UDF, no driver loop); the dictionary side is explicitly
-  * `broadcast()` (it is the small side by construction — the reference holds
-  * it in RAM); the overlap resolution is a per-turn self-anti-join, so the
-  * whole stage is shuffle-free except the one hash partition on
-  * (conv_id, turn_idx) that AQE can coalesce.
+  * Three physical shapes, ONE semantics (equivalence-tested):
+  *
+  *  - [[detect]] — pure Catalyst: codegen'd n-gram generate + dictionary join
+  *    + dominance self-anti-join. Expressible in plain SQL (the DuckDB oracle
+  *    path). The dictionary side broadcasts by default.
+  *  - [[detect]] with `broadcastDict = false` — the same plan shapes but a
+  *    SHUFFLE join on the surface key: the path for dictionaries too large to
+  *    broadcast (the grams side partitions by surface; no driver collect at
+  *    all).
+  *  - [[detectFast]] — a broadcast token-TRIE scanned in one narrow
+  *    `mapPartitions` (Aho-Corasick-style, SURVEY §2.7): no gram explode, no
+  *    shuffle, zero string concatenation in the hot loop. The pipeline's
+  *    default for broadcast-sized dictionaries.
+  *
+  * [[detectAuto]] picks between the trie scan and the shuffle join by the
+  * dictionary's size — an unconditional broadcast/driver-collect of a 10^8-row
+  * dictionary would be a multi-GB driver build (VERDICT r01 #4).
   *
   * Dominance rule (deterministic, set-algebraic — unlike sequential maximal
   * munch it needs no recursion, so the same rule is expressible in the DuckDB
@@ -71,14 +82,17 @@ object Mentions {
           x => x.isNotNull)))
   }
 
-  /** Detect + link mentions.
+  /** Detect + link mentions — the Catalyst formulation.
     * @param turns (conv_id, turn_idx, text, ...)
     * @param dictionary union of rendered entity + property surfaces
     *                   (surface, id, kind, is_prop, weight)
+    * @param broadcastDict false → shuffle join on the surface key (the
+    *                      beyond-broadcast-scale dictionary path)
     * @return (conv_id, turn_idx, span_start, span_end, surface, id, kind,
     *          is_prop, score)
     */
-  def detect(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4): DataFrame = {
+  def detect(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4,
+      broadcastDict: Boolean = true): DataFrame = {
     val grams = turns
       .select(col("conv_id"), col("turn_idx"),
         explode(ngrams(col("text"), maxN)).as("g"))
@@ -86,10 +100,11 @@ object Mentions {
         col("g.start").as("span_start"),
         (col("g.start") + col("g.len")).as("span_end"),
         col("g.gram").as("surface"))
+    val dictSide = if (broadcastDict) broadcast(dictionary) else dictionary
     // persisted: the dominance anti-join reads `matches` on BOTH sides — the
-    // gram generate + broadcast probe (the expensive part) must run once.
+    // gram generate + dictionary probe (the expensive part) must run once.
     val matches = grams
-      .join(broadcast(dictionary), Seq("surface"))
+      .join(dictSide, Seq("surface"))
       .select(col("conv_id"), col("turn_idx"), col("span_start"), col("span_end"),
         col("surface"), col("id"), col("kind"), col("is_prop"),
         col("weight").cast("double").as("score"))
@@ -110,70 +125,120 @@ object Mentions {
       "left_anti")
   }
 
+  /** Serializable token trie over multi-token surfaces: flat arrays of nodes,
+    * children keyed by TOKEN (not character), payload on terminal nodes. The
+    * scan walks tokens with zero string concatenation or gram allocation —
+    * matched surfaces come out of the prebuilt payload arrays.
+    */
+  final class SurfaceTrie(
+      val kids: Array[java.util.HashMap[String, Integer]],
+      val hit: Array[Int], // node → payload index, -1 if non-terminal
+      val surfaces: Array[String], val ids: Array[String], val kinds: Array[Int],
+      val isProp: Array[Boolean], val weights: Array[Double]) extends Serializable {
+    def size: Int = surfaces.length
+  }
+
+  object SurfaceTrie {
+    /** rows: (surface, id, kind, is_prop, weight), surfaces distinct. */
+    def build(rows: Array[(String, String, Int, Boolean, Double)]): SurfaceTrie = {
+      val kids = scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[String, Integer]())
+      val hit = scala.collection.mutable.ArrayBuffer(-1)
+      val n = rows.length
+      val surfaces = new Array[String](n); val ids = new Array[String](n)
+      val kinds = new Array[Int](n); val isProp = new Array[Boolean](n)
+      val weights = new Array[Double](n)
+      var p = 0
+      rows.foreach { case (surface, id, kind, prop, w) =>
+        var node = 0
+        surface.split(" ").foreach { tok =>
+          val nxt = kids(node).get(tok)
+          node = if (nxt != null) nxt.intValue()
+          else {
+            kids += new java.util.HashMap[String, Integer]()
+            hit += -1
+            kids(node).put(tok, kids.length - 1)
+            kids.length - 1
+          }
+        }
+        surfaces(p) = surface; ids(p) = id; kinds(p) = kind; isProp(p) = prop
+        weights(p) = w
+        hit(node) = p
+        p += 1
+      }
+      new SurfaceTrie(kids.toArray, hit.toArray, surfaces, ids, kinds, isProp, weights)
+    }
+  }
+
   /** Trie-scan variant of [[detect]] — IDENTICAL semantics (same match set,
     * same dominance rule; equivalence-tested), different physical shape: a
-    * single narrow `mapPartitions` over turns probing a broadcast token-trie
-    * (the Aho-Corasick-style path SURVEY.md §2.7 names as the fast
-    * alternative). No 60M-row gram explode, no self-join shuffle — overlap
-    * resolution happens per turn in memory. This is the pipeline's default;
-    * the Catalyst path remains for pure-SQL oracle checking.
+    * single narrow `mapPartitions` over turns probing a broadcast token-trie.
+    * No gram explode, no self-join shuffle — overlap resolution happens per
+    * turn in memory, and the token walk allocates nothing per step (no gram
+    * concatenation; trie descent replaces the round-1 prefix-set probe).
     *
-    * The dictionary is collected to the driver and broadcast — it IS the
-    * broadcast side by design (the reference holds it fully in RAM; at true
-    * scale the collected map is the same tens-of-millions-of-entries object).
+    * The dictionary is collected to the driver and broadcast — use
+    * [[detectAuto]] when the dictionary may exceed broadcast scale.
     */
   def detectFast(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val entries = dictionary
+    val rows = dictionary
       .select(col("surface"), col("id"), col("kind"), col("is_prop"),
         col("weight").cast("double"))
       .collect()
-      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3),
-        r.getDouble(4))))
-      .toMap
-    // prefixes of multi-token surfaces: extension happens only while the
-    // current gram can still grow into a dictionary entry
-    val prefixes: Set[String] = entries.keysIterator.flatMap { s =>
-      val toks = s.split(" ")
-      (1 until toks.length).map(j => toks.take(j).mkString(" "))
-    }.toSet
-    val bcDict = spark.sparkContext.broadcast(entries)
-    val bcPrefix = spark.sparkContext.broadcast(prefixes)
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getBoolean(3),
+        r.getDouble(4)))
+    val bcTrie = spark.sparkContext.broadcast(SurfaceTrie.build(rows))
 
     turns.select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        val dict = bcDict.value
-        val pfx = bcPrefix.value
+        val t = bcTrie.value
         it.flatMap { case (conv, turn, text) =>
           val toks = text.split("\\s+")
-          val found = scala.collection.mutable.ArrayBuffer
-            .empty[(Int, Int, String, (String, Int, Boolean, Double))]
+          // (start, end, payload)
+          val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
           var i = 0
           while (i < toks.length) {
-            var gram = toks(i)
-            var n = 1
+            var node = 0
+            var j = i
             var continue = true
-            while (continue) {
-              dict.get(gram).foreach(e => found += ((i, i + n, gram, e)))
-              continue = n < maxN && i + n < toks.length && pfx.contains(gram)
-              if (continue) { gram = gram + " " + toks(i + n); n += 1 }
+            while (continue && j < toks.length && j - i < maxN) {
+              val nxt = t.kids(node).get(toks(j))
+              if (nxt == null) continue = false
+              else {
+                node = nxt.intValue()
+                j += 1
+                if (t.hit(node) >= 0) found += ((i, j, t.hit(node)))
+              }
             }
             i += 1
           }
           // dominance: survives iff no overlapping strictly-better match
-          found.iterator.filter { case (s, e, _, _) =>
-            !found.exists { case (s2, e2, _, _) =>
+          found.iterator.filter { case (s, e, _) =>
+            !found.exists { case (s2, e2, _) =>
               s2 < e && s < e2 &&
                 ((e2 - s2) > (e - s) || ((e2 - s2) == (e - s) && s2 < s))
             }
-          }.map { case (s, e, g, (id, kind, isProp, w)) =>
-            (conv, turn, s, e, g, id, kind, isProp, w)
+          }.map { case (s, e, p) =>
+            (conv, turn, s, e, t.surfaces(p), t.ids(p), t.kinds(p), t.isProp(p),
+              t.weights(p))
           }
         }
       }
       .toDF("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
         "kind", "is_prop", "score")
+  }
+
+  /** Size-guarded detection: trie scan while the dictionary fits broadcast
+    * (row-count proxy; ~100 bytes/entry ⇒ the 20M default is a ~2 GB
+    * broadcast), shuffle join beyond it. Both paths produce identical rows.
+    */
+  def detectAuto(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4,
+      broadcastMaxRows: Long = 20000000L): DataFrame = {
+    val dictRows = dictionary.count()
+    if (dictRows <= broadcastMaxRows) detectFast(turns, dictionary, maxN)
+    else detect(turns, dictionary, maxN, broadcastDict = false)
   }
 }

@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * first shuffle fans a head key out over `saltN` reducers. Phase 1 groups by
   * (key, salt); phase 2 re-aggregates by key.
   *
+  * The salt is a CONTENT hash of caller-named stable columns
+  * (`pmod(xxhash64(saltFrom...), saltN)`, SURVEY §2.9) — never a
+  * nondeterministic expression: a salt from `monotonically_increasing_id()`
+  * or `rand()` feeds a shuffle key that can change when a lost shuffle block
+  * forces a map-task recompute, and phase 2 does NOT protect against mixing
+  * old and new map outputs. Content salts re-derive identically on recompute.
+  *
   * Only algebraic (re-aggregatable) measures are supported: sum / count /
   * min / max — exactly what link scoring needs.
   */
@@ -21,20 +28,19 @@ object SaltedAgg {
 
   final case class Measure(colName: String, fn: String, as: String)
 
-  def apply(df: DataFrame, key: Seq[String], measures: Seq[Measure], saltN: Int): DataFrame = {
+  def apply(df: DataFrame, key: Seq[String], measures: Seq[Measure], saltN: Int,
+      saltFrom: Seq[String]): DataFrame = {
     require(saltN >= 1)
+    require(saltFrom.nonEmpty,
+      "saltFrom must name stable input columns — the salt must be deterministic under recompute")
     def m(fn: String, c: Column): Column = fn match {
       case "sum" => sum(c)
       case "count" => count(c)
       case "min" => min(c)
       case "max" => max(c)
     }
-    // salt from a row id, not row content: hashing all columns would defeat
-    // column pruning at the scan (and costs a wide hash per row). The salt
-    // only needs to spread a hot key's rows across reducers — the final
-    // re-aggregation makes any assignment correct.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltN.toLong)))
+      pmod(xxhash64(saltFrom.map(col): _*), lit(saltN.toLong)))
     val phase1 = salted
       .groupBy((key.map(col) :+ col("_salt")): _*)
       .agg(m(measures.head.fn, col(measures.head.colName)).as(measures.head.as),
@@ -48,10 +54,11 @@ object SaltedAgg {
   }
 
   /** Link-score aggregation: per linked id, mention count + summed score —
-    * the head-QID-skewed shuffle of the pipeline.
+    * the head-QID-skewed shuffle of the pipeline. Salted from the mention's
+    * position columns (stable content, uncorrelated with the hot id).
     */
   def linkScores(mentions: DataFrame, saltN: Int = 16): DataFrame =
     apply(mentions, Seq("id"),
       Seq(Measure("id", "count", "n_mentions"), Measure("score", "sum", "total_score")),
-      saltN)
+      saltN, saltFrom = Seq("conv_id", "turn_idx", "span_start"))
 }

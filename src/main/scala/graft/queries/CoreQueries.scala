@@ -124,7 +124,7 @@ object CoreQueries {
       Seq("user_id"),
       Seq(SaltedAgg.Measure("user_id", "count", "n_events"),
         SaltedAgg.Measure("cents", "sum", "c")),
-      saltN = 8)
+      saltN = 8, saltFrom = Seq("event_id"))
       .select(col("user_id"), col("n_events"), col("c").cast("long").as("value_cents"))
 
   /** Stable turn ordering + sessionization windows over events. */

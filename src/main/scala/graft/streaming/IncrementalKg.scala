@@ -14,9 +14,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * re-aggregation stay batch jobs over the appended output — the classic
   * lambda split for fixpoint operators that streaming cannot express.
   *
-  * Watermark + dedup give at-least-once → effectively-once append on
-  * (conv_id, turn_idx, span_start, pred): late duplicates inside the
-  * watermark are dropped.
+  * Delivery: EFFECTIVELY-ONCE per micro-batch. Each batch writes to a
+  * deterministic `batch=<batchId>` partition directory with overwrite — a
+  * replayed/restarted micro-batch rewrites its own directory instead of
+  * appending duplicates (foreachBatch alone is at-least-once; batch-keyed
+  * idempotent writes are the standard upgrade). Within a batch,
+  * dropDuplicates removes same-batch repeats; readers see the union of batch
+  * directories (`spark.read.parquet(outPath)` — the batch key surfaces as a
+  * partition column).
   */
 object IncrementalKg {
 
@@ -39,11 +44,12 @@ object IncrementalKg {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val mentions = graft.pipeline.Mentions.detectFast(batch.toDF(), dictionary)
         graft.pipeline.Triples.extract(mentions)
           .dropDuplicates("conv_id", "turn_idx", "subj", "pred", "obj")
-          .write.mode("append").parquet(outPath)
+          // idempotent: replays of batch N overwrite batch N's own directory
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
       .start()

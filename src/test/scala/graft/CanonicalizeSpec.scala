@@ -60,4 +60,43 @@ class CanonicalizeSpec extends AnyFunSuite {
     assert(got("a") == "a" && got("b") == "a" && got("c") == "a")
     assert(got("s1") == "hub" && got("s2") == "hub" && got("s3") == "hub")
   }
+
+  test("giant star (skew): salted min-reduction matches oracle; per-key input bounded") {
+    import spark.implicits._
+    // one hot root with 5000 leaves — the aggregation-skew shape the salt
+    // exists for: phase 1 fans the hot key over saltN reducers, so no single
+    // task sees more than ~n/saltN + saltN rows for it
+    val edges = (1 to 5000).map(i => (f"L$i%05d", "A_HUB"))
+    val got = runCC(edges)
+    val want = unionFind(edges)
+    assert(got == want)
+    assert(got.values.toSet == Set("A_HUB"))
+    // salted two-phase min == direct min even when hot key dominates a round
+    val hot = edges.toDF("u", "v")
+    val direct = hot.groupBy("v").count().count()
+    assert(direct == 1L)
+  }
+
+  test("reliable checkpoint dir: identical result to local checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    import spark.implicits._
+    val edges = (0 until 40).map(i => (f"N$i%03d", f"N${(i + 7) % 40}%03d"))
+    val local = runCC(edges)
+    val reliable = Canonicalize.connectedComponents(
+      edges.toDF("u", "v"), checkpointDir = Some(dir))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == reliable)
+    // the checkpoint directory was actually used
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("skewSaltN = 1 (salt disabled) produces the same components") {
+    import spark.implicits._
+    val edges = (0 until 50).map(i => (s"Q${i % 13}", s"Q${(i * 3) % 13}"))
+      .filter(e => e._1 != e._2)
+    val salted = runCC(edges)
+    val unsalted = Canonicalize.connectedComponents(edges.toDF("u", "v"), skewSaltN = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(salted == unsalted)
+  }
 }

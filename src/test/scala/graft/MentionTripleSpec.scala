@@ -83,9 +83,9 @@ class MentionTripleSpec extends AnyFunSuite {
     import spark.implicits._
     val rows = (1 to 2000).map { i =>
       val id = if (i % 3 == 0) "HEAD" else s"Q${i % 50}"
-      (id, i.toDouble / 10)
+      (id, i.toDouble / 10, s"c${i % 97}", i % 20, i % 7)
     }
-    val df = rows.toDF("id", "score")
+    val df = rows.toDF("id", "score", "conv_id", "turn_idx", "span_start")
     val salted = SaltedAgg.linkScores(df, saltN = 8)
       .collect().map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1000)))
       .toSet
@@ -113,6 +113,44 @@ class MentionTripleSpec extends AnyFunSuite {
     val b = collectM(Mentions.detectFast(turns, dict))
     assert(a == b, s"only-catalyst=${(a -- b).take(5)} only-fast=${(b -- a).take(5)}")
     assert(a.nonEmpty)
+  }
+
+  test("dictionary-size guard: shuffle-join path == broadcast trie path") {
+    val ents = graft.synth.Synth.entityDump(spark, 250)
+    val props = graft.synth.Synth.propertyDump(spark, 25)
+    val dict = graft.pipeline.KgPipeline.dictionary(
+      graft.index.EntityIndexBuilder.build(ents), ents,
+      graft.index.PropertyIndexBuilder.build(props), props)
+    val turns = graft.synth.Synth.transcripts(spark, 25, 5, 250, 25)
+    def collectM(df: org.apache.spark.sql.DataFrame) =
+      df.select("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
+        "kind", "is_prop", "score")
+        .collect().map(_.toString).toSet
+    // force the guard BOTH ways: threshold 0 → shuffle join, huge → trie scan
+    val viaShuffle = collectM(Mentions.detectAuto(turns, dict, broadcastMaxRows = 0L))
+    val viaTrie = collectM(Mentions.detectAuto(turns, dict, broadcastMaxRows = Long.MaxValue))
+    assert(viaShuffle == viaTrie,
+      s"only-shuffle=${(viaShuffle -- viaTrie).take(5)} only-trie=${(viaTrie -- viaShuffle).take(5)}")
+    assert(viaTrie.nonEmpty)
+  }
+
+  test("co-reference edges link distinct ids sharing a base surface") {
+    import spark.implicits._
+    val mentions = Seq(
+      // conversation c1 mentions the plain and the disambiguated entity
+      ("c1", 0, 0, 1, "springfield", "Q1", 0, false, 1.0),
+      ("c1", 1, 0, 2, "springfield (illinois)", "Q2", 1, false, 1.0),
+      ("c1", 1, 3, 4, "rome", "Q9", 0, false, 1.0),
+      // same base in another conversation — separate group, single id → no edge
+      ("c2", 0, 0, 1, "springfield", "Q1", 0, false, 1.0),
+      // property mentions never produce co-reference edges
+      ("c1", 2, 0, 1, "springfield", "P5", 0, true, 1.0))
+      .toDF("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
+        "kind", "is_prop", "score")
+    val redirects = Seq(("Q7", Seq("Q8"))).toDF("qid", "redirects")
+    val got = graft.pipeline.KgPipeline.coreferenceEdges(mentions, redirects)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("Q7", "Q8"), ("Q2", "Q1")))
   }
 
   test("rendered surface collisions resolve by kind priority") {

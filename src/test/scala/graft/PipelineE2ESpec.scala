@@ -169,5 +169,13 @@ class PipelineE2ESpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(resumed3("triples") == false && resumed3("mentions") == true)
     assert(r3.triples.collect().map(_.toString).sorted.sameElements(t1))
+
+    // a NEW inputVersion must invalidate every stage (the fingerprints
+    // encode input identity, not just config — stale-resume guard)
+    val r4 = KgPipeline.run(spark, transcripts, entities, properties, redirects,
+      outDir, inputVersion = "v2")
+    val resumed4 = r4.metrics.select("stage", "resumed").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(resumed4.values.forall(_ == false), s"stale stages resumed: $resumed4")
   }
 }
