@@ -64,16 +64,16 @@ object PropertyIndexBuilder {
       .groupBy(col("pid"))
       .agg(sort_array(collect_list(struct(col("kind"), col("surface")))).as("ss"))
       .select(col("pid"), lit(null: String).as("pfx"),
-        col("ss.surface").as("surfaces"))
+        lit(null: String).as("pfx_long"), col("ss.surface").as("surfaces"))
     if (!includeWikidataQualifiers) return base
     val quals = index
       .select(col("pid"),
         explode(ParseKit.wikidataQualifierVariants(col("surface"))).as("q"),
         col("kind"))
-      .groupBy(col("pid"), col("q.pfx").as("pfx"))
+      .groupBy(col("pid"), col("q.pfx").as("pfx"), col("q.pfx_long").as("pfx_long"))
       .agg(sort_array(collect_list(struct(col("kind"), col("q.surface").as("surface"))))
         .as("ss"))
-      .select(col("pid"), col("pfx"), col("ss.surface").as("surfaces"))
+      .select(col("pid"), col("pfx"), col("pfx_long"), col("ss.surface").as("surfaces"))
     base.unionByName(quals)
   }
 

@@ -96,55 +96,93 @@ object ParseKit {
       transform(splitMultiValue(c, sep), x => regexp_extract(x, pattern, 1)),
       x => length(x) > 0)
 
-  /** P8: KG-specific label decoration (`lib.rs:177-193`).
-    * DBpedia ontology properties → "label (ontology)"; Freebase → the
-    * penultimate `.`-segment of the property id with `_`→' '.
-    * `propId` must be the group-1 capture (e.g. `ontology/birthPlace` for
-    * dbpedia is NOT what group 1 gives — group 1 is the full IRI; for dbpedia
-    * the reference matches on the captured id starting with "ontology").
+  /** P8: KG-specific label decoration (`lib.rs:177-193`), BYTE-PARITY with
+    * the reference: the reference tests/splits `prop` = the group-1 capture,
+    * which is the FULL IRI, so
+    *  - DBpedia: `starts_with("ontology")` on "http://dbpedia.org/…" is
+    *    always false — DBpedia labels are NEVER decorated (an upstream quirk
+    *    we reproduce rather than "fix"; a semantic fix would test the path
+    *    segment);
+    *  - Freebase: the penultimate '.'-segment OF THE FULL IRI with `_`→' ' —
+    *    e.g. `…/ns/people.person.nationality` → "(person)" but the 2-segment
+    *    `…/ns/people.person` → "(com/ns/people)" (same quirk as the Rust).
+    * `propIri` must be the group-1 capture (the full IRI).
     */
-  def decoratePropertyLabel(kg: Kg, label: Column, propId: Column): Column = kg match {
+  def decoratePropertyLabel(kg: Kg, label: Column, propIri: Column): Column = kg match {
     case Kg.Wikidata => label
     case Kg.DBpedia =>
-      when(propId.startsWith("ontology"), concat(label, lit(" (ontology)")))
+      when(propIri.startsWith("ontology"), concat(label, lit(" (ontology)")))
         .otherwise(label)
     case Kg.Freebase =>
-      // penultimate '.'-segment, '_' → ' '   (lib.rs:186-192)
+      // penultimate '.'-segment of the full IRI, '_' → ' '  (lib.rs:186-192)
       concat(
         label,
         lit(" ("),
-        regexp_replace(element_at(split(propId, "\\."), -2), "_", " "),
+        regexp_replace(element_at(split(propIri, "\\."), -2), "_", " "),
         lit(")"))
   }
 
-  /** P10: long → short entity form (`format_entity`, `lib.rs:360-374`). */
-  def formatEntityShort(kg: Kg, entIri: Column): Column =
-    concat(lit(kg.entShortPrefix + ":"), regexp_extract(entIri, kg.entPattern, 2))
+  /** P10: entity formatting (`format_entity`, `lib.rs:360-374`): short →
+    * `wd:Q42` / `fb:m.x` / `dbr:X`; long → the IRI unchanged (the reference
+    * returns the input string before even matching).
+    */
+  def formatEntity(kg: Kg, entIri: Column, short: Boolean = true): Column =
+    if (!short) entIri
+    else concat(lit(kg.entShortPrefix + ":"), regexp_extract(entIri, kg.entPattern, 2))
 
-  /** P10: long → short property form (`format_property`, `lib.rs:281-326`). */
-  def formatPropertyShort(kg: Kg, propIri: Column, pfx: Option[String] = None): Column =
+  /** Backward-compatible alias of [[formatEntity]] short form. */
+  def formatEntityShort(kg: Kg, entIri: Column): Column = formatEntity(kg, entIri)
+
+  /** P10: property formatting (`format_property`, `lib.rs:281-326`), both
+    * branches. `pfx` may be a per-row column (nulls fall back to the
+    * reference defaults — `coalesce` mirrors Rust's `unwrap_or`).
+    * DBpedia long form reproduces the reference byte-for-byte including its
+    * missing separator: `"http://dbpedia.org/" + p_type` concatenated
+    * directly with the name (`lib.rs:316-322` has no '/' between them).
+    */
+  def formatProperty(kg: Kg, propIri: Column, short: Boolean,
+      pfx: Option[Column] = None): Column = {
+    def orDefault(d: String): Column = pfx.map(c => coalesce(c, lit(d))).getOrElse(lit(d))
+    val g2 = regexp_extract(propIri, kg.propPattern, 2)
     kg match {
       case Kg.Wikidata =>
-        concat(lit(pfx.getOrElse("wdt") + ":"), regexp_extract(propIri, kg.propPattern, 2))
+        if (short) concat(orDefault("wdt"), lit(":"), g2)
+        else concat(orDefault("http://www.wikidata.org/prop/direct/"), g2)
       case Kg.Freebase =>
-        concat(lit(pfx.getOrElse("fb") + ":"), regexp_extract(propIri, kg.propPattern, 2))
+        if (short) concat(orDefault("fb"), lit(":"), g2)
+        else concat(orDefault("http://rdf.freebase.com/ns/"), g2)
       case Kg.DBpedia =>
-        concat(
-          when(regexp_extract(propIri, kg.propPattern, 2) === "ontology", lit("dbo:"))
-            .otherwise(lit("dbp:")),
-          regexp_extract(propIri, kg.propPattern, 3))
+        val g3 = regexp_extract(propIri, kg.propPattern, 3)
+        if (short) // pfx is IGNORED in the reference's short dbpedia branch
+          concat(when(g2 === "ontology", lit("dbo:")).otherwise(lit("dbp:")), g3)
+        else
+          concat(pfx.map(c => coalesce(c, concat(lit("http://dbpedia.org/"), g2)))
+            .getOrElse(concat(lit("http://dbpedia.org/"), g2)), g3)
     }
+  }
+
+  /** Backward-compatible short-form property formatting. */
+  def formatPropertyShort(kg: Kg, propIri: Column, pfx: Option[String] = None): Column =
+    formatProperty(kg, propIri, short = true, pfx.map(lit(_)))
 
   /** P11: the 5 Wikidata qualifier variants of a property label
     * (`wikidata_qualifiers`, `lib.rs:377-405`). Returns an array<struct> to
     * `explode` — a pure built-in generate, no custom Generator needed.
+    * `pfx` is the short prefix, `pfx_long` the full IRI prefix (the reference
+    * returns both and the output keys on one or the other per
+    * `--short-properties`, `kg-properties.rs:146-152`).
     */
-  def wikidataQualifierVariants(label: Column): Column = array(
-    struct(concat(label, lit(" (statement)")).as("surface"), lit("p").as("pfx")),
-    struct(concat(label, lit(" (qualifier)")).as("surface"), lit("pq").as("pfx")),
-    struct(concat(label, lit(" (normalized qualifier)")).as("surface"), lit("pqn").as("pfx")),
-    struct(concat(label, lit(" (value)")).as("surface"), lit("ps").as("pfx")),
-    struct(concat(label, lit(" (normalized value)")).as("surface"), lit("psn").as("pfx")))
+  def wikidataQualifierVariants(label: Column): Column = {
+    def v(suffix: String, short: String, long: String) =
+      struct(concat(label, lit(s" ($suffix)")).as("surface"),
+        lit(short).as("pfx"), lit(long).as("pfx_long"))
+    array(
+      v("statement", "p", "http://www.wikidata.org/prop/"),
+      v("qualifier", "pq", "http://www.wikidata.org/prop/qualifier/"),
+      v("normalized qualifier", "pqn", "http://www.wikidata.org/prop/qualifier/value-normalized/"),
+      v("value", "ps", "http://www.wikidata.org/prop/statement/"),
+      v("normalized value", "psn", "http://www.wikidata.org/prop/statement/value-normalized/"))
+  }
 
   /** Parse a raw entity-dump DataFrame (6 TSV-shaped string columns
     * `ent, ent_name, ent_description, links, types, aliases`) into the
@@ -177,24 +215,15 @@ object ParseKit {
     * schema, applying P8 decoration.
     */
   def parseProperties(raw: DataFrame, kg: Kg): DataFrame = {
-    val idCol = kg match {
-      // dbpedia: decoration keys off the "(property|ontology)/(.+)" split; we
-      // keep the path tail (group2/group3) as a single decoration key.
-      case Kg.DBpedia =>
-        concat(
-          regexp_extract(col("p"), kg.propPattern, 2),
-          lit("/"),
-          regexp_extract(col("p"), kg.propPattern, 3))
-      case _ => regexp_extract(col("p"), kg.propPattern, 2)
-    }
     val parsed = raw
       .withColumn("pid", regexp_extract(col("p"), kg.propPattern, 1))
-      .withColumn("pid_short", idCol)
       .withColumn("label0", extractLabel(col("p_label")))
       .withColumn("count", expr("try_cast(p_count AS BIGINT)"))
       .withColumn("aliases", coalesce(splitMultiValue(col("p_aliases")), emptyArr))
       .withColumn("inverses", coalesce(splitIds(col("p_invs"), kg.propPattern), emptyArr))
-      .withColumn("label", decoratePropertyLabel(kg, col("label0"), col("pid_short")))
+      // decoration keys off the group-1 FULL IRI, exactly like parse_property
+      // (lib.rs:177-193) — see decoratePropertyLabel for the quirks this keeps
+      .withColumn("label", decoratePropertyLabel(kg, col("label0"), col("pid")))
     parsed
       .filter(length(col("pid")) > 0 && length(col("label0")) > 0 && col("count").isNotNull)
       .select("pid", "label", "count", "aliases", "inverses", "seq")

@@ -42,24 +42,34 @@ class ParseSpec extends AnyFunSuite {
     assert(q1.getSeq[String](4).isEmpty && q1.getSeq[String](5).isEmpty)
   }
 
-  test("property label decoration per KG (P8, lib.rs:177-193)") {
+  test("property label decoration per KG (P8, lib.rs:177-193) — full-IRI parity") {
     import spark.implicits._
-    val df = Seq(("l", "ontology/birthPlace"), ("l", "property/birthPlace"))
-      .toDF("label", "pid_short")
+    // the reference tests group 1 (the FULL IRI) with starts_with("ontology"),
+    // which never matches — DBpedia labels are NEVER decorated (quirk kept)
+    val df = Seq(("l", "http://dbpedia.org/ontology/birthPlace"),
+      ("l", "http://dbpedia.org/property/birthPlace"))
+      .toDF("label", "iri")
     val dbp = df.select(
-      ParseKit.decoratePropertyLabel(Kg.DBpedia, col("label"), col("pid_short")).as("x"))
+      ParseKit.decoratePropertyLabel(Kg.DBpedia, col("label"), col("iri")).as("x"))
       .collect().map(_.getString(0)).toSeq
-    assert(dbp == Seq("l (ontology)", "l"))
-    val fb = Seq(("born", "people.person.date_of_birth"))
-      .toDF("label", "pid_short")
-      .select(ParseKit.decoratePropertyLabel(Kg.Freebase, col("label"), col("pid_short")).as("x"))
+    assert(dbp == Seq("l", "l"))
+    // freebase: penultimate '.'-segment of the FULL IRI
+    val fb = Seq(("born", "http://rdf.freebase.com/ns/people.person.date_of_birth"))
+      .toDF("label", "iri")
+      .select(ParseKit.decoratePropertyLabel(Kg.Freebase, col("label"), col("iri")).as("x"))
       .collect().head.getString(0)
     assert(fb == "born (person)")
-    val fb2 = Seq(("x", "base.some_domain.prop_name"))
-      .toDF("label", "pid_short")
-      .select(ParseKit.decoratePropertyLabel(Kg.Freebase, col("label"), col("pid_short")).as("x"))
+    val fb2 = Seq(("x", "http://rdf.freebase.com/ns/base.some_domain.prop_name"))
+      .toDF("label", "iri")
+      .select(ParseKit.decoratePropertyLabel(Kg.Freebase, col("label"), col("iri")).as("x"))
       .collect().head.getString(0)
     assert(fb2 == "x (some domain)")
+    // the reference's 2-segment quirk: the domain comes out as "com/ns/people"
+    val fb3 = Seq(("y", "http://rdf.freebase.com/ns/people.person"))
+      .toDF("label", "iri")
+      .select(ParseKit.decoratePropertyLabel(Kg.Freebase, col("label"), col("iri")).as("x"))
+      .collect().head.getString(0)
+    assert(fb3 == "y (com/ns/people)")
   }
 
   test("short formatting (P10, lib.rs:281-374)") {
@@ -80,6 +90,34 @@ class ParseSpec extends AnyFunSuite {
       .select(ParseKit.formatPropertyShort(Kg.DBpedia, col("iri")).as("x"))
       .collect().head.getString(0)
     assert(dbpp == "dbp:born")
+  }
+
+  test("long-form formatting (P10, lib.rs:281-326 short=false)") {
+    import spark.implicits._
+    def one(df: org.apache.spark.sql.DataFrame): String = df.collect().head.getString(0)
+    // entity long form = identity (the reference returns the input unchanged)
+    val e = Seq("http://www.wikidata.org/entity/Q42").toDF("iri")
+    assert(one(e.select(ParseKit.formatEntity(Kg.Wikidata, col("iri"), short = false)
+      .as("x"))) == "http://www.wikidata.org/entity/Q42")
+    // wikidata long: default prefix is the DIRECT prop namespace
+    val p = Seq("http://www.wikidata.org/entity/P31").toDF("iri")
+    assert(one(p.select(ParseKit.formatProperty(Kg.Wikidata, col("iri"), short = false)
+      .as("x"))) == "http://www.wikidata.org/prop/direct/P31")
+    // custom prefix column (the qualifier path)
+    assert(one(p.select(ParseKit.formatProperty(Kg.Wikidata, col("iri"), short = false,
+      Some(lit("http://www.wikidata.org/prop/qualifier/")))
+      .as("x"))) == "http://www.wikidata.org/prop/qualifier/P31")
+    // null prefix in the column falls back to the default (Rust unwrap_or)
+    assert(one(p.select(ParseKit.formatProperty(Kg.Wikidata, col("iri"), short = false,
+      Some(lit(null: String)))
+      .as("x"))) == "http://www.wikidata.org/prop/direct/P31")
+    val fb = Seq("http://rdf.freebase.com/ns/people.person").toDF("iri")
+    assert(one(fb.select(ParseKit.formatProperty(Kg.Freebase, col("iri"), short = false)
+      .as("x"))) == "http://rdf.freebase.com/ns/people.person")
+    // dbpedia long form keeps the reference's missing-separator quirk
+    val db = Seq("http://dbpedia.org/ontology/birthPlace").toDF("iri")
+    assert(one(db.select(ParseKit.formatProperty(Kg.DBpedia, col("iri"), short = false)
+      .as("x"))) == "http://dbpedia.org/ontologybirthPlace")
   }
 
   test("wikidata qualifier variants (P11, lib.rs:377-405)") {

@@ -64,7 +64,7 @@ class PropertyIndexSpec extends AnyFunSuite {
     val rows = Seq(RawProperty("P1", "spouse", 5, Nil, Nil, 0))
     val idx = PropertyIndexBuilder.build(rows.toDF())
     val out = PropertyIndexBuilder.outputRows(idx, includeWikidataQualifiers = true)
-    val got = out.collect().map(r => (r.getString(1), r.getSeq[String](2))).toMap
+    val got = out.collect().map(r => (r.getString(1), r.getSeq[String](3))).toMap
     assert(got(null) == Seq("spouse"))
     assert(got("p") == Seq("spouse (statement)"))
     assert(got("pq") == Seq("spouse (qualifier)"))
