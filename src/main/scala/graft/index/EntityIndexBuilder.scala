@@ -100,7 +100,7 @@ object EntityIndexBuilder {
       df: DataFrame, uniqAlias: DataFrame, surfaceCol: String,
       cfg: EntityIndexConfig): DataFrame = {
     if (!cfg.checkForPopularAliases) return df.withColumn("override", lit(false))
-    df.join(uniqAlias.hint("merge"), df(surfaceCol) === uniqAlias("a_surface"), "left")
+    df.join(uniqAlias, df(surfaceCol) === uniqAlias("a_surface"), "left")
       .withColumn(
         "override",
         col("a_qid").isNotNull && col("a_qid") =!= col("qid") &&
@@ -142,7 +142,7 @@ object EntityIndexBuilder {
       .filter(col("grp_n") > 1 || col("override"))
       .filter(col("info") =!= "")
       .withColumn("rendered", concat(col("label"), lit(" ("), col("info"), lit(")")))
-      .join(e1.select(col("surface").as("e1_surface")).hint("merge"),
+      .join(e1.select(col("surface").as("e1_surface")),
         col("rendered") === col("e1_surface"), "left_anti")
 
     // ---- E3/E4: per-(label,info) group resolution (kg-entities.rs:224-268) ----
@@ -200,7 +200,7 @@ object EntityIndexBuilder {
     val wAlias = Window.partitionBy(col("alias"))
       .orderBy(col("count").desc, col("qid").asc)
     val plainWinners = aliasCand
-      .join(takenPlain.hint("merge"), aliasCand("alias") === takenPlain("surface"), "left_anti")
+      .join(takenPlain, aliasCand("alias") === takenPlain("surface"), "left_anti")
       .withColumn("rn", row_number().over(wAlias))
       .filter(col("rn") === 1)
       .persist()
@@ -215,12 +215,11 @@ object EntityIndexBuilder {
     val e5Info = aliasCand
       .join(plainWinners
           .filter(col("occ_n") === 1)
-          .select(col("alias").as("w_alias"), col("qid").as("w_qid"))
-          .hint("merge"),
+          .select(col("alias").as("w_alias"), col("qid").as("w_qid")),
         aliasCand("alias") === col("w_alias") && aliasCand("qid") === col("w_qid"),
         "left_anti")
       .filter(col("info") =!= "")
-      .join(takenPair.hint("merge"),
+      .join(takenPair,
         aliasCand("alias") === takenPair("surface") &&
           aliasCand("info") === takenPair("info"), "left_anti")
       .withColumn("rn", row_number().over(wAliasInfo))

@@ -54,9 +54,16 @@ object Mentions {
     rendered
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("msurface").as("surface"), col("id"), col("kind"),
-        lit(isProp).as("is_prop"), col("weight"))
+      .select(col("msurface").as("surface"), col("surface").as("base"),
+        col("id"), col("kind"), lit(isProp).as("is_prop"), col("weight"))
   }
+
+  /** Dictionaries built outside [[renderSurfaces]] may lack the undecorated
+    * `base` column — default it to the surface itself.
+    */
+  private def withBase(dictionary: DataFrame): DataFrame =
+    if (dictionary.columns.contains("base")) dictionary
+    else dictionary.withColumn("base", col("surface"))
 
   /** All token n-grams (n = 1..maxN) of `textCol` with token-space start
     * positions, as one flattened array<struct<start,len,gram>>.
@@ -100,14 +107,15 @@ object Mentions {
         col("g.start").as("span_start"),
         (col("g.start") + col("g.len")).as("span_end"),
         col("g.gram").as("surface"))
-    val dictSide = if (broadcastDict) broadcast(dictionary) else dictionary
+    val dict = withBase(dictionary)
+    val dictSide = if (broadcastDict) broadcast(dict) else dict
     // persisted: the dominance anti-join reads `matches` on BOTH sides — the
     // gram generate + dictionary probe (the expensive part) must run once.
     val matches = grams
       .join(dictSide, Seq("surface"))
       .select(col("conv_id"), col("turn_idx"), col("span_start"), col("span_end"),
         col("surface"), col("id"), col("kind"), col("is_prop"),
-        col("weight").cast("double").as("score"))
+        col("weight").cast("double").as("score"), col("base"))
       .persist()
 
     // dominance anti-join: drop matches overlapped by a strictly better one
@@ -125,33 +133,39 @@ object Mentions {
       "left_anti")
   }
 
-  /** Serializable token trie over multi-token surfaces: flat arrays of nodes,
-    * children keyed by TOKEN (not character), payload on terminal nodes. The
-    * scan walks tokens with zero string concatenation or gram allocation —
-    * matched surfaces come out of the prebuilt payload arrays.
+  /** The dictionary as compact parallel arrays — what actually rides the
+    * broadcast. Java-serializes as five flat arrays (fast) instead of a
+    * million-object trie graph (slow, and built on the DRIVER — a pure
+    * Amdahl serial fraction the full-pipeline scaling pair exposed).
+    */
+  final case class DictRows(
+      surfaces: Array[String], ids: Array[String], kinds: Array[Int],
+      isProp: Array[Boolean], weights: Array[Double], bases: Array[String])
+
+  /** Token trie over multi-token surfaces: flat arrays of nodes, children
+    * keyed by TOKEN (not character), payload on terminal nodes. The scan
+    * walks tokens with zero string concatenation or gram allocation —
+    * matched surfaces come out of the payload arrays. Built lazily ONCE PER
+    * EXECUTOR JVM from the broadcast [[DictRows]] (see [[SurfaceTrie.of]]),
+    * never serialized.
     */
   final class SurfaceTrie(
       val kids: Array[java.util.HashMap[String, Integer]],
       val hit: Array[Int], // node → payload index, -1 if non-terminal
-      val surfaces: Array[String], val ids: Array[String], val kinds: Array[Int],
-      val isProp: Array[Boolean], val weights: Array[Double]) extends Serializable {
-    def size: Int = surfaces.length
+      val rows: DictRows) {
+    def size: Int = rows.surfaces.length
   }
 
   object SurfaceTrie {
-    /** rows: (surface, id, kind, is_prop, weight), surfaces distinct. */
-    def build(rows: Array[(String, String, Int, Boolean, Double)]): SurfaceTrie = {
+    def build(rows: DictRows): SurfaceTrie = {
       val kids = scala.collection.mutable.ArrayBuffer(
         new java.util.HashMap[String, Integer]())
       val hit = scala.collection.mutable.ArrayBuffer(-1)
-      val n = rows.length
-      val surfaces = new Array[String](n); val ids = new Array[String](n)
-      val kinds = new Array[Int](n); val isProp = new Array[Boolean](n)
-      val weights = new Array[Double](n)
       var p = 0
-      rows.foreach { case (surface, id, kind, prop, w) =>
+      while (p < rows.surfaces.length) {
+        val surface = rows.surfaces(p)
         var node = 0
-        surface.split(" ").foreach { tok =>
+        def step(tok: String): Unit = {
           val nxt = kids(node).get(tok)
           node = if (nxt != null) nxt.intValue()
           else {
@@ -161,12 +175,24 @@ object Mentions {
             kids.length - 1
           }
         }
-        surfaces(p) = surface; ids(p) = id; kinds(p) = kind; isProp(p) = prop
-        weights(p) = w
+        // fast path: most dictionary surfaces are single-token — skip the
+        // split allocation entirely (this build is on the job's serial path)
+        if (surface.indexOf(' ') < 0) step(surface)
+        else surface.split(" ").foreach(step)
         hit(node) = p
         p += 1
       }
-      new SurfaceTrie(kids.toArray, hit.toArray, surfaces, ids, kinds, isProp, weights)
+      new SurfaceTrie(kids.toArray, hit.toArray, rows)
+    }
+
+    // per-JVM trie cache keyed by broadcast id: the trie is built once per
+    // executor (in parallel across executors, off the driver's critical
+    // path) and shared by every task/partition in that JVM
+    private val cache = new java.util.concurrent.ConcurrentHashMap[Long, SurfaceTrie]()
+
+    def of(broadcastId: Long, rows: => DictRows): SurfaceTrie = {
+      if (cache.size > 8) cache.clear() // bound growth across dictionaries
+      cache.computeIfAbsent(broadcastId, _ => build(rows))
     }
   }
 
@@ -183,18 +209,30 @@ object Mentions {
   def detectFast(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val rows = dictionary
+    val collected = withBase(dictionary)
       .select(col("surface"), col("id"), col("kind"), col("is_prop"),
-        col("weight").cast("double"))
+        col("weight").cast("double"), col("base"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getBoolean(3),
-        r.getDouble(4)))
-    val bcTrie = spark.sparkContext.broadcast(SurfaceTrie.build(rows))
+    val n = collected.length
+    val rows = DictRows(new Array[String](n), new Array[String](n),
+      new Array[Int](n), new Array[Boolean](n), new Array[Double](n),
+      new Array[String](n))
+    var i0 = 0
+    while (i0 < n) {
+      val r = collected(i0)
+      rows.surfaces(i0) = r.getString(0); rows.ids(i0) = r.getString(1)
+      rows.kinds(i0) = r.getInt(2); rows.isProp(i0) = r.getBoolean(3)
+      rows.weights(i0) = r.getDouble(4); rows.bases(i0) = r.getString(5)
+      i0 += 1
+    }
+    val bcRows = spark.sparkContext.broadcast(rows)
 
     turns.select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        val t = bcTrie.value
+        // trie built once per executor JVM from the flat broadcast arrays
+        val t = SurfaceTrie.of(bcRows.id, bcRows.value)
+        val d = t.rows
         it.flatMap { case (conv, turn, text) =>
           val toks = text.split("\\s+")
           // (start, end, payload)
@@ -222,13 +260,13 @@ object Mentions {
                 ((e2 - s2) > (e - s) || ((e2 - s2) == (e - s) && s2 < s))
             }
           }.map { case (s, e, p) =>
-            (conv, turn, s, e, t.surfaces(p), t.ids(p), t.kinds(p), t.isProp(p),
-              t.weights(p))
+            (conv, turn, s, e, d.surfaces(p), d.ids(p), d.kinds(p), d.isProp(p),
+              d.weights(p), d.bases(p))
           }
         }
       }
       .toDF("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
-        "kind", "is_prop", "score")
+        "kind", "is_prop", "score", "base")
   }
 
   /** Size-guarded detection: trie scan while the dictionary fits broadcast

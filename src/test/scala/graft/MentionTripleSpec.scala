@@ -138,15 +138,15 @@ class MentionTripleSpec extends AnyFunSuite {
     import spark.implicits._
     val mentions = Seq(
       // conversation c1 mentions the plain and the disambiguated entity
-      ("c1", 0, 0, 1, "springfield", "Q1", 0, false, 1.0),
-      ("c1", 1, 0, 2, "springfield (illinois)", "Q2", 1, false, 1.0),
-      ("c1", 1, 3, 4, "rome", "Q9", 0, false, 1.0),
+      ("c1", 0, 0, 1, "springfield", "Q1", 0, false, 1.0, "springfield"),
+      ("c1", 1, 0, 2, "springfield (illinois)", "Q2", 1, false, 1.0, "springfield"),
+      ("c1", 1, 3, 4, "rome", "Q9", 0, false, 1.0, "rome"),
       // same base in another conversation — separate group, single id → no edge
-      ("c2", 0, 0, 1, "springfield", "Q1", 0, false, 1.0),
+      ("c2", 0, 0, 1, "springfield", "Q1", 0, false, 1.0, "springfield"),
       // property mentions never produce co-reference edges
-      ("c1", 2, 0, 1, "springfield", "P5", 0, true, 1.0))
+      ("c1", 2, 0, 1, "springfield", "P5", 0, true, 1.0, "springfield"))
       .toDF("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
-        "kind", "is_prop", "score")
+        "kind", "is_prop", "score", "base")
     val redirects = Seq(("Q7", Seq("Q8"))).toDF("qid", "redirects")
     val got = graft.pipeline.KgPipeline.coreferenceEdges(mentions, redirects)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -164,7 +164,8 @@ class MentionTripleSpec extends AnyFunSuite {
       ("apple (fruit)", None: Option[String], "Q2", 3))
       .toDF("surface", "info", "id", "kind")
     val got = Mentions.renderSurfaces(idx, isProp = false)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got == Set(("apple (fruit)", "Q1"), ("apple (fruit2)", "Q3")))
+      .select("surface", "id", "base")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("apple (fruit)", "Q1", "apple"), ("apple (fruit2)", "Q3", "apple")))
   }
 }

@@ -108,6 +108,38 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall=$recall")
   }
 
+  /** 10× corpus: trained √N centroids must hold recall with bounded buckets. */
+  lazy val vecs10x = {
+    import spark.implicits._
+    (0L until 600L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(8) { d =>
+        val base = if (d == c * 2) 1.0f else 0.0f
+        base + 0.05f * (((i * 31 + d * 17) % 11) - 5)
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF at 10x corpus: trained sqrt(N) centroids, recall holds, buckets bounded") {
+    val brute = Similarity.bruteForceTopK(vecs10x, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nCentroids = 0 → ceil(sqrt(600)) = 25 trained centroids
+    val ivf = Similarity.ivfTopK(vecs10x, "vec_id", "embedding", k = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(f"IVF 10x recall=$recall%.3f (n=600, 25 trained centroids, nProbe=3)")
+    assert(recall >= 0.6, s"IVF 10x recall=$recall")
+    // bucket boundedness: with 4 planted clusters and 25 centroids each
+    // nProbe-assignment bucket must stay well under the corpus size —
+    // candidate pair fan-out is sum(bucket²), the quantity the √N sizing caps
+    val probed = Similarity.ivfTopK(vecs10x, "vec_id", "embedding", k = 600, nProbe = 3)
+      .groupBy("vec_id").count().collect().map(_.getLong(1))
+    val maxCands = probed.max
+    info(s"max candidate set per vector = $maxCands of 599 possible")
+    assert(maxCands < 599, "IVF must not degenerate into all-pairs")
+  }
+
   test("embedding near-dups via sign-LSH: precision exact (integer verify)") {
     val got = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
         thresholdPct = 95, nPlanes = 4)
