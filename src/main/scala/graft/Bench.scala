@@ -112,7 +112,7 @@ object Bench {
       System.gc()
       (n, best)
     }
-    val (m1, ts1) = scanRun(1, repeats = 3)
+    val (m1, ts1) = scanRun(1, repeats = 2)
     val (m4, ts4) = scanRun(4, repeats = 5)
     val effNarrow = ((m4 / ts4) / (m1 / ts1)) / 4.0
 
@@ -150,10 +150,12 @@ object Bench {
       }
       timedRun(200) // warmup
       val r1 = timedRun(scaleConvs)
-      val r2 = timedRun(scaleConvs)
+      // best-of-2 on the PAIR levels (2, 8); the 32-thread run only feeds
+      // the transparency fields — one run keeps total bench wall bounded
+      val best = if (c <= 8) math.min(r1._2, timedRun(scaleConvs)._2) else r1._2
       s.stop()
       System.gc() // don't let this session's garbage tax the next session
-      (r1._1, math.min(r1._2, r2._2))
+      (r1._1, best)
     }
     val (n2, t2) = scalingRun(2)
     val (n8, t8) = scalingRun(8)
