@@ -71,9 +71,18 @@ object TextAnalysis {
         .as("bpe_tokens"))
 
   /** Polynomial rolling-hash fingerprint over characters, mod 1e9+7 —
-    * deterministic across engines (integer-only).
+    * deterministic across engines (integer-only). Backed by the native
+    * codegen'd [[graft.functions.PolyHash]] expression (one fused loop); the
+    * built-in formulation below is kept for equivalence testing and as the
+    * documentation of the exact cross-engine semantics.
     */
   def fingerprint(textCol: Column): Column =
+    graft.functions.PolyHash.poly_hash(textCol)
+
+  /** Built-in-only reference formulation of [[fingerprint]] — what the
+    * DuckDB oracles mirror term for term.
+    */
+  def fingerprintBuiltin(textCol: Column): Column =
     aggregate(
       filter(split(textCol, ""), c => length(c) > 0),
       lit(0L),

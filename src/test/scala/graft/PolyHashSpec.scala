@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PolyHash
+import graft.ops.TextAnalysis
+
+/** The native PolyHash expression must be bit-identical to the built-in
+  * aggregate/ascii formulation (which the DuckDB oracles mirror) — including
+  * interpreted vs codegen evaluation and non-ASCII codepoints.
+  */
+class PolyHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def check(strings: Seq[String]): Unit = {
+    import spark.implicits._
+    val df = strings.toDF("s")
+    val rows = df.select(
+      PolyHash.poly_hash(col("s")).as("native"),
+      TextAnalysis.fingerprintBuiltin(col("s")).as("builtin")).collect()
+    rows.zip(strings).foreach { case (r, s) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch on ${s.take(40)}")
+    }
+  }
+
+  test("native == built-in on crafted strings") {
+    check(Seq("", "a", "abc", "hello world", "a" * 500,
+      "tabs\tand\nnewlines", "punct!@#$%^&*()",
+      "unicode: żółć ñ 中文 🙂 combining é"))
+    // the known closed form from round 1
+    import spark.implicits._
+    val fp = Seq("abc").toDF("s").select(PolyHash.poly_hash(col("s")))
+      .collect().head.getLong(0)
+    assert(fp == 97L * 31 * 31 + 98L * 31 + 99L)
+  }
+
+  test("native == built-in on pseudo-random strings (property sweep)") {
+    val rnd = new scala.util.Random(7)
+    val pool = "abcdefghij KLMNOP.;'öü🙂"
+    check((1 to 200).map { _ =>
+      val n = rnd.nextInt(60)
+      (0 until n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    })
+  }
+
+  test("registered SQL function and interpreted path") {
+    PolyHash.register(spark)
+    val got = spark.sql("SELECT poly_hash('abc') AS h").collect().head.getLong(0)
+    assert(got == 97L * 31 * 31 + 98L * 31 + 99L)
+    // interpreted eval (no codegen): evaluate via a literal expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val expr = graft.functions.PolyHash(Literal.create("abc",
+      org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null) == 97L * 31 * 31 + 98L * 31 + 99L)
+  }
+}
