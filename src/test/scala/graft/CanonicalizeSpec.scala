@@ -77,6 +77,18 @@ class CanonicalizeSpec extends AnyFunSuite {
     assert(direct == 1L)
   }
 
+  test("auto salt: forced-low degree threshold engages mid-fixpoint, same result") {
+    import spark.implicits._
+    // star chained to a path so convergence takes >1 round pair and the
+    // emergent-degree probe actually fires with the threshold forced to 10
+    val edges = (1 to 300).map(i => (f"L$i%04d", "HUB")) ++
+      (0 until 20).map(i => (f"P$i%03d", f"P${i + 1}%03d")) :+ (("P000", "HUB"))
+    val auto = Canonicalize.connectedComponents(
+      edges.toDF("u", "v"), skewSaltN = 0, autoSaltMaxDegree = 10L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(auto == unionFind(edges))
+  }
+
   test("reliable checkpoint dir: identical result to local checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ck").toString
     import spark.implicits._

@@ -134,6 +134,34 @@ class MentionTripleSpec extends AnyFunSuite {
     assert(viaTrie.nonEmpty)
   }
 
+  test("detectTracked leaves no cached blocks after materialize + release") {
+    val d = dict(
+      ("paris", "Q90", false, 50L),
+      ("borders", "P47", true, 20L),
+      ("berlin", "Q64", false, 40L))
+    val t = turns(("c1", 0, "paris borders berlin today"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (df, caches) = Mentions.detectTracked(t, d)
+    assert(df.count() == 3)
+    caches.foreach(_.unpersist(blocking = true))
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"detect-and-materialize cycle leaked cached RDDs: ${after -- before}")
+  }
+
+  test("detectAutoTracked with a row-count hint runs no dictionary count job") {
+    val d = dict(("paris", "Q90", false, 50L))
+    val t = turns(("c1", 0, "paris is nice"))
+    // hint below the broadcast bound → trie path, zero extra jobs over dict
+    val (fast, c1) = Mentions.detectAutoTracked(t, d, knownDictRows = Some(1L))
+    assert(c1.isEmpty && fast.count() == 1)
+    // hint above the bound → shuffle join, caches returned for release
+    val (slow, c2) = Mentions.detectAutoTracked(t, d,
+      broadcastMaxRows = 0L, knownDictRows = Some(1L))
+    assert(slow.count() == 1)
+    c2.foreach(_.unpersist(blocking = false))
+  }
+
   test("co-reference edges link distinct ids sharing a base surface") {
     import spark.implicits._
     val mentions = Seq(
