@@ -127,29 +127,48 @@ object Dedup {
     * before signing AND verification (consistent set semantics), `maxBucket`
     * bounds the worst-case bucket fan-out.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
-      maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue): DataFrame = {
-    require(numHashes % bands == 0)
-    val r = numHashes / bands
+  /** Per-doc distinct token sets with the df-cap applied (empty sets
+    * dropped) — the shared front end of the minhash family.
+    */
+  private def cappedTokenSets(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
     val toksAll = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
     // df-cap: rebuild per-doc token sets without tokens in > maxDf docs
-    val toks = (if (maxDf == Long.MaxValue) toksAll
-      else {
-        val tok = toksAll.select(col("id"), explode(col("toks")).as("token"))
-        val kept = tok.join(
-          tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-          Seq("token"), "left_semi")
-        kept.groupBy("id").agg(collect_list(col("token")).as("toks"))
-      }).filter(size(col("toks")) > 0)
-    val sigs = toks
-      .withColumn("sig", minhashSigFromHashes(tokenHashes(col("toks")), numHashes))
+    (if (maxDf == Long.MaxValue) toksAll
+    else {
+      val tok = toksAll.select(col("id"), explode(col("toks")).as("token"))
+      val kept = tok.join(
+        tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+        Seq("token"), "left_semi")
+      kept.groupBy("id").agg(collect_list(col("token")).as("toks"))
+    }).filter(size(col("toks")) > 0)
+  }
+
+  /** UNCAPPED (id, band, bhash) banding rows of the minhash signatures —
+    * exposed so callers can measure what a `maxBucket` cap would drop
+    * ([[countOverfullBuckets]]) before running the capped join.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, maxDf: Long = Long.MaxValue): DataFrame =
+    bandsOfToks(cappedTokenSets(df, idCol, textCol, maxDf), numHashes, bands)
+
+  private def bandsOfToks(toks: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    toks.withColumn("sig", minhashSigFromHashes(tokenHashes(col("toks")), numHashes))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => bandHash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bhash")))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
+      maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue): DataFrame = {
+    val toks = cappedTokenSets(df, idCol, textCol, maxDf)
     // ids-only banding: the wide `toks` column does NOT ride the band shuffle
     val banded = capBuckets(
-      sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => bandHash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bhash"))),
+      bandsOfToks(toks, numHashes, bands),
       Seq("band", "bhash"), maxBucket)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -219,5 +238,66 @@ object Dedup {
           x => x)).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** UNCAPPED (id, chunk, ckey) banding rows of the simhash chunks — the
+    * measurement twin of [[minhashBands]].
+    */
+  def simhashBands(df: DataFrame, idCol: String, textCol: String,
+      chunks: Int = 4): DataFrame = {
+    val bitsPerChunk = SimhashBits / chunks
+    df.select(col(idCol).as("id"),
+      simhashBits(array_distinct(tokens(col(textCol)))).as("bits"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => aggregate(slice(col("bits"), c * bitsPerChunk + 1, lit(bitsPerChunk)),
+            lit(0L), (acc, x) => acc * 2 + x)))
+          .as(Seq("chunk", "ckey")))
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+
+  /** Pipeline-facing MinHash near-dup entry point with the 100-TB safety caps
+    * ON by default (VERDICT r02 #7 — the raw [[minhashLshPairs]] defaults to
+    * uncapped so its oracle stays parameter-free; a naive caller should get
+    * the bounded plan):
+    *
+    *  - `maxBucket` = 1000: a degenerate band bucket of k rows emits k²
+    *    candidate pairs — at corpus scale one viral boilerplate bucket is a
+    *    quadratic blowup. Capped buckets are DROPPED (their members are
+    *    still paired through their other bands when genuinely similar).
+    *  - `maxDf` = corpusRows/100 (floor 100): stop-word-frequency tokens
+    *    leave the token sets before signing AND verification.
+    *
+    * Dropped-bucket volume is measured ([[countOverfullBuckets]]) and logged
+    * so capped runs are observable, never silent. Both caps are exact SQL
+    * (GROUP BY … HAVING), so capped outputs stay oracle-checkable.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
+      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01): DataFrame = {
+    val corpus = df.count()
+    val maxDf = math.max(100L, (corpus * maxDfFraction).toLong)
+    val (nb, nr) = countOverfullBuckets(
+      minhashBands(df, idCol, textCol, numHashes, bands, maxDf),
+      Seq("band", "bhash"), maxBucket)
+    if (nb > 0)
+      log.info(s"minhashNearDups: dropping $nb overfull band buckets " +
+        s"($nr rows) at maxBucket=$maxBucket, maxDf=$maxDf, corpus=$corpus")
+    minhashLshPairs(df, idCol, textCol, numHashes, bands, thresholdPct,
+      maxDf, maxBucket)
+  }
+
+  /** Capped-by-default SimHash near-dup entry point — see
+    * [[minhashNearDups]] for the cap rationale.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Long = 1000L): DataFrame = {
+    val (nb, nr) = countOverfullBuckets(
+      simhashBands(df, idCol, textCol, chunks), Seq("chunk", "ckey"), maxBucket)
+    if (nb > 0)
+      log.info(s"simhashNearDups: dropping $nb overfull chunk buckets " +
+        s"($nr rows) at maxBucket=$maxBucket")
+    simhashPairs(df, idCol, textCol, maxHamming, chunks, maxBucket)
   }
 }

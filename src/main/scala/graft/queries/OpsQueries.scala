@@ -30,6 +30,16 @@ object OpsQueries {
       tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),
       "doc_id", "text", numHashes = 32, bands = 8, thresholdPct = 80)
 
+  /** The 100-TB-capped minhash shape with BOTH caps live (df cap 50,
+    * bucket cap 5) — caps are exact SQL (GROUP BY … HAVING), so the capped
+    * run is oracle-checked end to end, not just plan-asserted.
+    */
+  def dedupMinhashCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(
+      tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),
+      "doc_id", "text", numHashes = 32, bands = 8, thresholdPct = 80,
+      maxDf = 50L, maxBucket = 5L)
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(
       tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),

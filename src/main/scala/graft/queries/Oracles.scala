@@ -364,6 +364,52 @@ object Oracles {
         |WHERE len(list_intersect(ta.toks, tb.toks)) * 100
         |      >= 80 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))""".stripMargin,
 
+    // the capped shape: df cap (HAVING count <= 50 on token document
+    // frequency) before signing AND verification, bucket cap (HAVING count
+    // <= 5 per (band, bhash)) before the candidate self-join — both exact SQL
+    "dedup_minhash_capped" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT DISTINCT doc_id AS id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  WHERE token <> ''),
+        |kept AS (
+        |  SELECT id, token FROM tok
+        |  WHERE token IN (SELECT token FROM tok GROUP BY token HAVING count(*) <= 50)),
+        |toks AS (SELECT id, list(token) AS toks FROM kept GROUP BY id),
+        |nz AS (SELECT id, toks FROM toks WHERE len(toks) > 0),
+        |hs AS (
+        |  SELECT id, toks, list_transform(toks, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+        |  FROM nz),
+        |sigs AS (
+        |  SELECT id, list_transform(range(0, 32), i ->
+        |    list_min(list_transform(hs, h ->
+        |      (h * ((i*1103515245+12345) % 2147483646 + 1)
+        |       + (i*134775813+1) % 2147483647) % 2147483647))) AS sig
+        |  FROM hs),
+        |banded AS (
+        |  SELECT id, b AS band,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+        |           (acc, x) -> (acc*1000003 + x) % 1000000007) AS bhash
+        |  FROM sigs, unnest(range(0, 8)) AS t(b)),
+        |capped AS (
+        |  SELECT bd.* FROM banded bd
+        |  JOIN (SELECT band, bhash FROM banded GROUP BY band, bhash
+        |        HAVING count(*) <= 5) keep USING (band, bhash)),
+        |cands AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM capped x JOIN capped y
+        |    ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id)
+        |SELECT c.a, c.b,
+        |       CAST(len(list_intersect(ta.toks, tb.toks)) AS INT) AS inter,
+        |       CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS INT) AS uni
+        |FROM cands c JOIN nz ta ON c.a = ta.id JOIN nz tb ON c.b = tb.id
+        |WHERE len(list_intersect(ta.toks, tb.toks)) * 100
+        |      >= 80 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))""".stripMargin,
+
     "dedup_simhash" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
         |toks AS (

@@ -176,6 +176,46 @@ class OpsSpec extends AnyFunSuite {
     assert(nb > 0 && nr > 0)
   }
 
+  test("capped-default wrappers drop a planted hot bucket, keep honest pairs") {
+    import spark.implicits._
+    // 1100 byte-identical docs: every band bucket holds all 1100 rows —
+    // past the default maxBucket=1000, so the wrappers must drop them all.
+    // maxDfFraction = 1.0 keeps the df-cap out of the way so the BUCKET cap
+    // is what does the dropping. Two genuinely near-dup docs with disjoint
+    // vocabulary sit in small buckets and must survive.
+    val hot = (0L until 1100L).map(i => (i, "copy pasta boiler plate"))
+    // pair differs in one of 21 tokens: jaccard 20/22 ≈ 0.91 (minhash-able)
+    // and simhash hamming = 2 with a shared chunk (probed)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda omicron sigma tau upsilon phi chi psi omega rho"
+    val pair = Seq((5000L, s"$shared mu"), (5001L, s"$shared buzz"))
+    val df = (hot ++ pair).toDF("doc_id", "text")
+
+    val mh = Dedup.minhashNearDups(df, "doc_id", "text",
+      thresholdPct = 60, maxDfFraction = 1.0)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((5000L, 5001L)),
+      s"hot bucket must drop, honest pair must survive: $mh")
+    // control: the raw uncapped operator DOES pair the hot docs
+    val uncapped = Dedup.minhashLshPairs(df, "doc_id", "text", thresholdPct = 60)
+      .count()
+    assert(uncapped > 1100L * 1099 / 2)
+
+    val sh = Dedup.simhashNearDups(df, "doc_id", "text")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == Set((5000L, 5001L)), s"simhash capped default: $sh")
+  }
+
+  test("countOverfullBuckets measures exactly what the cap drops") {
+    import spark.implicits._
+    val df = ((0L until 20L).map(i => (i, "same same text")) :+
+      ((99L, "unique words here"))).toDF("doc_id", "text")
+    val banded = Dedup.minhashBands(df, "doc_id", "text", numHashes = 16, bands = 4)
+    val (nb, nr) = Dedup.countOverfullBuckets(banded, Seq("band", "bhash"), 10L)
+    assert(nb == 4L, s"every band's hot bucket counted: $nb") // 4 bands, 1 hot bucket each
+    assert(nr == 80L, s"20 rows x 4 bands: $nr")
+  }
+
   test("multimodal: attach → stubbed decode → frame sampling plumbing") {
     val d = docs((1L, "a" * 100), (2L, "bb"))
     val media = Multimodal.attach(d, "doc_id", "text")
