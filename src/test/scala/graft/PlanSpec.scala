@@ -27,6 +27,27 @@ class PlanSpec extends AnyFunSuite {
       s"scan must read ONLY (doc_id, text):\n$plan")
   }
 
+  test("conv-scoped transcript read prunes partitions and pushes the id filter") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-transcripts").toString
+    graft.io.TranscriptStore.write(
+      graft.synth.Synth.transcripts(spark, convs = 40, turnsPerConv = 3,
+        nEnts = 50, mProps = 5),
+      dir, nBuckets = 16)
+    val probe = graft.io.TranscriptStore.forConv(spark, dir, "conv-000007")
+    assert(probe.count() == 3) // correctness of the point read itself
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in the point-read plan"))
+    // plan-time partition pruning: exactly ONE of the 16 bucket directories
+    assert(scan.partitionFilters.exists(_.toString.contains("conv_bucket")),
+      s"bucket predicate must be a PARTITION filter:\n${probe.queryExecution.executedPlan}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"16-bucket table must prune to 1 partition, got ${scan.selectedPartitions.partitionCount}")
+    // the conv_id equality reaches the parquet reader for row-group skipping
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("EqualTo(conv_id")),
+      s"conv_id filter must push down:\n${scan.metadata.get("PushedFilters")}")
+  }
+
   test("minhash-LSH band exchange never carries token arrays") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"alpha beta w$i x${i % 7} y${i % 5}"))
