@@ -57,6 +57,61 @@ object Triples {
         ((col("subj_score") + col("obj_cand.s")) / 2.0 + col("score")).as("score"))
   }
 
+  /** A mention row in the walker's wire shape:
+    * (conv_id, turn_idx, span_start, span_end, id, is_prop, score).
+    */
+  type MentionRow = (String, Int, Int, Int, String, Boolean, Double)
+
+  /** One conversation's turn walk — the per-group state machine both
+    * [[extractFast]] (batch) and the streaming stateful extractor share.
+    * `seed` is the conversation-focus entity carried in from EARLIER turns
+    * (an earlier micro-batch on the streaming path; None in batch, where the
+    * group holds the whole conversation).
+    *
+    * @return (triples, final focus entity or null, its score)
+    */
+  private[graft] def walkTurns(
+      conv: String,
+      ms: Array[MentionRow],
+      seed: Option[(String, Double)]):
+      (Seq[(String, String, String, String, Int, Double)], String, Double) = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Int, Double)]
+    var lastEnt: String = seed.map(_._1).orNull
+    var lastScore = seed.map(_._2).getOrElse(0.0)
+    var turnStart = 0
+    while (turnStart < ms.length) {
+      val turn = ms(turnStart)._2
+      var turnEnd = turnStart
+      while (turnEnd < ms.length && ms(turnEnd)._2 == turn) turnEnd += 1
+      var i = turnStart
+      while (i < turnEnd) {
+        val m = ms(i)
+        if (m._6) { // property mention
+          if (lastEnt != null) {
+            // nearest following entity in the SAME turn
+            var j = i + 1
+            while (j < turnEnd && ms(j)._6) j += 1
+            if (j < turnEnd) {
+              val o = ms(j)
+              out += ((lastEnt, m._5, o._5, conv, turn,
+                (lastScore + o._7) / 2.0 + m._7))
+            }
+          }
+        } else { lastEnt = m._5; lastScore = m._7 }
+        i += 1
+      }
+      turnStart = turnEnd
+    }
+    (out.toSeq, lastEnt, lastScore)
+  }
+
+  /** Sort key shared by the batch group walk and the streaming state walk —
+    * the same stable (turn, span, id) order the window formulation fixes.
+    */
+  private[graft] def sortMentions(ms: Array[MentionRow]): Array[MentionRow] =
+    ms.sortBy(m => (m._2, m._3, m._4, m._5))
+
   /** Single-pass variant of [[extract]] — identical semantics
     * (equivalence-tested), one shuffle + one sort instead of two opposite-
     * order window sorts: conversations group on one key, each group is a
@@ -70,39 +125,10 @@ object Triples {
       .select(col("conv_id"), col("turn_idx").cast("int"),
         col("span_start").cast("int"), col("span_end").cast("int"),
         col("id"), col("is_prop"), col("score").cast("double"))
-      .as[(String, Int, Int, Int, String, Boolean, Double)]
+      .as[MentionRow]
       .groupByKey(_._1)
       .flatMapGroups { (conv, it) =>
-        val ms = it.toArray.sortBy(m => (m._2, m._3, m._4, m._5))
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, String, String, Int, Double)]
-        var lastEnt: String = null
-        var lastScore = 0.0
-        var turnStart = 0
-        while (turnStart < ms.length) {
-          val turn = ms(turnStart)._2
-          var turnEnd = turnStart
-          while (turnEnd < ms.length && ms(turnEnd)._2 == turn) turnEnd += 1
-          var i = turnStart
-          while (i < turnEnd) {
-            val m = ms(i)
-            if (m._6) { // property mention
-              if (lastEnt != null) {
-                // nearest following entity in the SAME turn
-                var j = i + 1
-                while (j < turnEnd && ms(j)._6) j += 1
-                if (j < turnEnd) {
-                  val o = ms(j)
-                  out += ((lastEnt, m._5, o._5, conv, turn,
-                    (lastScore + o._7) / 2.0 + m._7))
-                }
-              }
-            } else { lastEnt = m._5; lastScore = m._7 }
-            i += 1
-          }
-          turnStart = turnEnd
-        }
-        out.iterator
+        walkTurns(conv, sortMentions(it.toArray), None)._1.iterator
       }
       .toDF("subj", "pred", "obj", "conv_id", "turn_idx", "score")
   }

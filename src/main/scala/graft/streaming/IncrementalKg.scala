@@ -2,7 +2,12 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The cross-batch conversation state: the focus entity the batch walker
+  * carries between turns, persisted in the state store between micro-batches.
+  */
+final case class ConvFocus(lastEnt: String, lastScore: Double)
 
 /** Incremental KG append over a transcript STREAM.
   *
@@ -39,7 +44,9 @@ object IncrementalKg {
     // per-batch: the same batch operators as the pipeline — mention scan is
     // stateless per turn, triple extraction windows stay WITHIN a batch
     // (conversations are assumed batch-aligned by the ingest partitioner;
-    // a cross-batch conversation focus would need flatMapGroupsWithState).
+    // for conversations that SPLIT across batches use
+    // [[statefulTriplesStream]], which carries the focus entity in a
+    // flatMapGroupsWithState state store).
     withWm.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
@@ -52,6 +59,59 @@ object IncrementalKg {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
+      .start()
+  }
+
+  /** Cross-batch stateful triple extraction (VERDICT r02 next-step #8):
+    * unlike [[triplesStream]], conversations may SPLIT across micro-batches —
+    * the conversation-focus entity (the batch walker's carried state) lives
+    * in a `flatMapGroupsWithState` state store keyed by conv_id, so a
+    * property mention in batch N+1 resolves its subject from an entity
+    * mention seen in batch N, exactly as the batch pipeline would. Output is
+    * byte-identical to `Triples.extract` over the concatenated batches,
+    * PROVIDED turns arrive in conversation order across batches (the
+    * append-log contract: a turn is the atomic ingest unit and later turns
+    * land in later batches — the same assumption the batch window sort
+    * encodes as ORDER BY turn_idx).
+    *
+    * Sink: the parquet file sink (exactly-once via its `_spark_metadata`
+    * transaction log), not foreachBatch — state + sink both recover from the
+    * checkpoint after a restart.
+    */
+  def statefulTriplesStream(
+      transcripts: DataFrame,
+      dictionary: DataFrame,
+      outPath: String,
+      queryName: String,
+      checkpointDir: String): StreamingQuery = {
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    // stateless per-turn mention scan (broadcast trie) on the stream
+    val mentions = graft.pipeline.Mentions.detectFast(transcripts, dictionary)
+    val typed = mentions.select(col("conv_id"), col("turn_idx").cast("int"),
+        col("span_start").cast("int"), col("span_end").cast("int"),
+        col("id"), col("is_prop"), col("score").cast("double"))
+      .as[graft.pipeline.Triples.MentionRow]
+    val triples = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (conv: String, it: Iterator[graft.pipeline.Triples.MentionRow],
+            state: GroupState[ConvFocus]) => {
+          val ms = graft.pipeline.Triples.sortMentions(it.toArray)
+          val seed = state.getOption.map(s => (s.lastEnt, s.lastScore))
+          val (out, lastEnt, lastScore) =
+            graft.pipeline.Triples.walkTurns(conv, ms, seed)
+          if (lastEnt != null) state.update(ConvFocus(lastEnt, lastScore))
+          out.iterator
+        })
+      .toDF("subj", "pred", "obj", "conv_id", "turn_idx", "score")
+    triples.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outPath)
+      .outputMode("append")
       .start()
   }
 

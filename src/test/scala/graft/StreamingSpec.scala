@@ -47,6 +47,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stateful stream: conversation split across batches == batch pipeline") {
+    import spark.implicits._
+    val dict = Seq(
+      ("paris", "Q90", false, 50L),
+      ("berlin", "Q64", false, 40L),
+      ("tokyo", "Q1490", false, 30L),
+      ("borders", "P47", true, 20L),
+      ("contains", "P150", true, 10L))
+      .toDF("surface", "id", "is_prop", "weight")
+      .withColumn("kind", lit(0))
+
+    // property-LEADING later turns: their subject is an entity mentioned
+    // only in earlier turns, so a per-batch extractor would drop them
+    val transcripts = Seq(
+      ("c1", 0, "we saw paris today"), ("c1", 1, "a lovely city"),
+      ("c1", 3, "borders berlin we heard"), ("c1", 4, "contains tokyo tower"),
+      ("c2", 0, "berlin was rainy"), ("c2", 3, "borders paris maybe"),
+      ("c3", 0, "tokyo borders paris"), ("c3", 1, "paris contains berlin"))
+      .toDF("conv_id", "turn_idx", "text")
+    val srcDir = Files.createTempDirectory("sstream-src").toString
+    // two FILES = two micro-batches (maxFilesPerTrigger=1): every
+    // conversation's turns 0-2 land in batch 0, turns 3+ in batch 1 —
+    // the split the per-batch extractor cannot handle and the stateful one
+    // must (focus entity from batch 0 seeds batch 1's subjects)
+    transcripts.filter(col("turn_idx") < 3).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    Thread.sleep(1200) // distinct mtimes → deterministic file order
+    transcripts.filter(col("turn_idx") >= 3).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(transcripts.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val outDir = Files.createTempDirectory("sstream-out").toString
+    val ckDir = Files.createTempDirectory("sstream-ck").toString
+    val q = IncrementalKg.statefulTriplesStream(stream, dict, outDir, "kgsstream", ckDir)
+    q.awaitTermination(180000)
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    // it really ran as >= 2 micro-batches
+    assert(q.recentProgress.map(_.batchId).max >= 1,
+      s"expected >=2 batches, got ${q.recentProgress.map(_.batchId).toSeq}")
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("subj", "pred", "obj", "conv_id", "turn_idx", "round(score, 6) AS s")
+      .collect().map(_.toString).toSet
+    val got = canon(spark.read.parquet(outDir))
+    val want = canon(graft.pipeline.Triples.extract(
+      graft.pipeline.Mentions.detectFast(transcripts, dict)))
+    assert(got == want,
+      s"only-stream=${(got -- want).take(5)} only-batch=${(want -- got).take(5)}")
+    assert(got.nonEmpty)
+    // the cross-batch seeding did real work: some turn>=3 triple's subject
+    // is an entity mentioned only in turns 0-2 (would be MISSING per-batch)
+    val perBatch = canon {
+      val m = graft.pipeline.Mentions.detectFast(transcripts, dict)
+      graft.pipeline.Triples.extract(m.filter(col("turn_idx") < 3))
+        .unionByName(graft.pipeline.Triples.extract(m.filter(col("turn_idx") >= 3)))
+    }
+    assert((want -- perBatch).nonEmpty,
+      "test corpus must contain a cross-batch-dependent triple")
+  }
+
   test("watermarked windowed mention rates run on a stream") {
     val nEnts = 100L
     val ents = Synth.entityDump(spark, nEnts)
