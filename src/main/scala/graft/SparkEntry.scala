@@ -59,6 +59,7 @@ object SparkEntry {
       "doc_fingerprint" -> (O.docFingerprint _),
       "multimodal_meta" -> (O.multimodalMeta _),
       "multimodal_features" -> (O.multimodalFeatures _),
+      "multimodal_bmp" -> (O.multimodalBmp _),
       "frame_sample" -> (O.frameSample _),
       "embed_stats" -> (O.embedStats _),
       "ann_brute_topk" -> (O.annBruteTopK _),

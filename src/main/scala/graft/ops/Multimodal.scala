@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
@@ -63,6 +63,42 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #2: 8-bit uncompressed grayscale BMP (Windows
+    * BITMAPINFOHEADER). Parses the binary little-endian header — data
+    * offset, dimensions, bit depth — then folds the raster rows, skipping
+    * the 4-byte row-stride padding. Everything comes from the BYTES.
+    */
+  object BmpCodec extends MediaCodec {
+    private def le4(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le2(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP payload")
+      val dataOffset = le4(bytes, 10)
+      val width = le4(bytes, 18)
+      val height = le4(bytes, 22) // positive = bottom-up; sum is order-free
+      val bpp = le2(bytes, 28)
+      require(bpp == 8, s"only 8-bit grayscale BMP supported, got bpp=$bpp")
+      require(le4(bytes, 30) == 0, "compressed BMP not supported")
+      val stride = ((width + 3) / 4) * 4
+      var sum = 0L
+      var r = 0
+      while (r < height) {
+        val rowStart = dataOffset + r * stride
+        var c = 0
+        while (c < width && rowStart + c < bytes.length) {
+          sum += (bytes(rowStart + c) & 0xff); c += 1
+        }
+        r += 1
+      }
+      (width, height, sum)
+    }
+  }
+
   /** STUB codec kept for tests: deterministic byte statistics standing in for
     * a library decode (JPEG etc.). The Spark-side contract it exercises —
     * mapPartitions, per-partition init, typed output — is identical.
@@ -108,6 +144,46 @@ object Multimodal {
           .as("media"),
         lit("image/x-portable-graymap").as("mime"),
         (octet_length(col("_hdr")) + col("_w") * col("_h")).cast("long").as("n_bytes"))
+
+  private def hexByte(v: Column): Column =
+    lpad(hex(v.bitwiseAND(lit(255L))), 2, "0")
+  private def le4hex(v: Column): Column =
+    concat(hexByte(v), hexByte(shiftright(v, 8)),
+      hexByte(shiftright(v, 16)), hexByte(shiftright(v, 24)))
+
+  /** 256-entry grayscale palette (B,G,R,0 per entry), a constant. */
+  private val PaletteHex: String =
+    (0 until 256).map(i => f"$i%02X$i%02X$i%02X00").mkString
+
+  /** Render a text column as a REAL 8-bit grayscale BMP: width =
+    * ((n_bytes mod 4)+1)·4 — always a multiple of 4, so the BMP row stride
+    * equals the width and the raster is the text's UTF-8 bytes contiguously,
+    * NUL-padded to width·height. The binary little-endian header is built
+    * with pure column ops (numbers → little-endian hex → one `unhex`);
+    * the ingest-side counterpart of [[BmpCodec]], every derived quantity
+    * SQL-derivable from the text (the oracle contract, as with
+    * [[attachPgm]]).
+    */
+  def attachBmp(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("_t"))
+      .withColumn("_n", octet_length(col("_t")).cast("long"))
+      .withColumn("_w", (pmod(col("_n"), lit(4L)) + 1L) * 4L)
+      .withColumn("_h", greatest(lit(1L),
+        ceil(col("_n").cast("double") / col("_w").cast("double")).cast("long")))
+      .withColumn("_px", col("_w") * col("_h"))
+      // BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + palette(1024) = 1078
+      .withColumn("_hdr", concat(
+        lit("424D"), le4hex(col("_px") + 1078L), lit("00000000"), le4hex(lit(1078L)),
+        le4hex(lit(40L)), le4hex(col("_w")), le4hex(col("_h")),
+        lit("0100"), lit("0800"), // planes = 1, bpp = 8
+        le4hex(lit(0L)), le4hex(col("_px")), le4hex(lit(0L)), le4hex(lit(0L)),
+        le4hex(lit(256L)), le4hex(lit(0L)), lit(PaletteHex)))
+      .select(
+        col("media_id"),
+        unhex(concat(col("_hdr"), hex(encode(col("_t"), "UTF-8")),
+          repeat(lit("00"), (col("_px") - col("_n")).cast("int")))).as("media"),
+        lit("image/bmp").as("mime"),
+        (col("_px") + 1078L).as("n_bytes"))
 
   /** Decode + feature-extract over partitions (batch shape: the per-partition
     * iterator — the codec is constructed/bound once per partition here, the

@@ -78,6 +78,16 @@ object OpsQueries {
       Multimodal.PgmCodec)
       .toDF().select("media_id", "n_bytes", "width", "height", "pixel_sum", "mean_milli")
 
+  /** Second real codec path: text rendered as 8-bit grayscale BMP (binary
+    * little-endian header built via unhex), decoded back by header parse +
+    * stride-aware raster fold — integer-exact, DuckDB-oracled.
+    */
+  def multimodalBmp(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeFeatures(
+      Multimodal.attachBmp(tbl(s, d, "documents"), "doc_id", "text"),
+      Multimodal.BmpCodec)
+      .toDF().select("media_id", "n_bytes", "width", "height", "pixel_sum", "mean_milli")
+
   def embedStats(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings").groupBy("label")
       .agg(count(lit(1)).as("n"),

@@ -568,5 +568,29 @@ object Oracles {
         |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       CAST(px_sum AS BIGINT) AS pixel_sum,
         |       CAST(px_sum * 1000 // (w * h) AS BIGINT) AS mean_milli
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    // BMP twin of multimodal_features: width snaps to a multiple of 4 (so
+    // the BMP stride adds no row padding), header+palette = 1078 bytes
+    "multimodal_bmp" ->
+      """WITH hb AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |mb AS (
+        |  SELECT doc_id AS media_id, n,
+        |         COALESCE(list_sum(list_transform(range(0, n), i ->
+        |           instr('123456789ABCDEF', substr(hx, 2*i+1, 1)) * 16
+        |           + instr('123456789ABCDEF', substr(hx, 2*i+2, 1)))), 0) AS px_sum
+        |  FROM hb),
+        |db AS (
+        |  SELECT media_id, n, px_sum,
+        |         (n % 4 + 1) * 4 AS w,
+        |         GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) / ((n % 4 + 1) * 4)) AS BIGINT)) AS h
+        |  FROM mb)
+        |SELECT media_id,
+        |       CAST(w * h + 1078 AS BIGINT) AS n_bytes,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(px_sum AS BIGINT) AS pixel_sum,
+        |       CAST(px_sum * 1000 // (w * h) AS BIGINT) AS mean_milli
+        |FROM db""".stripMargin)
 }

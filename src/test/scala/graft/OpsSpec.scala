@@ -254,6 +254,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: BMP render → REAL binary-header codec round-trip") {
+    import spark.implicits._
+    // includes non-ASCII (é = 2 UTF-8 bytes) — width/height/sums are BYTE
+    // quantities, and the raster holds raw UTF-8 bytes
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "café haus"),
+      (4L, "x" * 57)).toDF("doc_id", "text")
+    val media = graft.ops.Multimodal.attachBmp(df, "doc_id", "text")
+    // the payload is a parseable BMP: magic, 1078 data offset, dims from bytes
+    val raw = media.filter(col("media_id") === 1L)
+      .select("media").collect()(0).getAs[Array[Byte]](0)
+    assert(raw(0) == 'B' && raw(1) == 'M')
+    assert(raw.length == 1078 + 16) // n=11 → w=(11%4+1)*4=16, h=1 → 16 px
+    val got = graft.ops.Multimodal.decodeFeatures(media, graft.ops.Multimodal.BmpCodec)
+      .collect().map(f => f.media_id ->
+        ((f.width, f.height, f.pixel_sum, f.n_bytes, f.mean_milli))).toMap
+    def expect(text: String): (Int, Int, Long, Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val w = (n % 4 + 1) * 4
+      val h = math.max(1L, math.ceil(n.toDouble / w).toLong)
+      val sum = bytes.map(b => (b & 0xff).toLong).sum
+      (w, h.toInt, sum, 1078L + w * h, sum * 1000L / (w * h))
+    }
+    assert(got(1L) == expect("hello world"))
+    assert(got(2L) == expect(""))
+    assert(got(3L) == expect("café haus"))
+    assert(got(4L) == expect("x" * 57)) // multi-row raster (h > 1)
+  }
+
   test("text analysis: quality/langid/token counts on crafted inputs") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog."),
