@@ -66,6 +66,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // local-iteration knob: run a subset of sections (the driver runs all)
+    val sections = sys.env.getOrElse("SPARK_GRAFT_BENCH_SECTIONS",
+      "narrow,scaling,full,queries").split(",").map(_.trim).toSet
 
     // ---- full-pipeline scaling runs (each needs its own session/master) ----
     // a small warmup run per session pays the one-time JVM/codegen costs so
@@ -112,8 +115,8 @@ object Bench {
       System.gc()
       (n, best)
     }
-    val (m1, ts1) = scanRun(1, repeats = 2)
-    val (m4, ts4) = scanRun(4, repeats = 5)
+    val (m1, ts1) = if (sections("narrow")) scanRun(1, repeats = 2) else (1L, 1.0)
+    val (m4, ts4) = if (sections("narrow")) scanRun(4, repeats = 5) else (1L, 0.25)
     val effNarrow = ((m4 / ts4) / (m1 / ts1)) / 4.0
 
     // The SCALING job is the north-rule span — extract → link → canonicalize
@@ -138,13 +141,14 @@ object Bench {
       val ei = graft.index.EntityIndexBuilder.build(ents)
       val pi = graft.index.PropertyIndexBuilder.build(props)
       val dict = graft.pipeline.KgPipeline.dictionary(ei, ents, pi, props).persist()
-      dict.count()
+      val dictRows = dict.count()
       def timedRun(convs: Long): (Long, Double) = {
         val out = java.nio.file.Files.createTempDirectory("graft-scale").toString
         val t0 = System.nanoTime()
         val r = graft.pipeline.KgPipeline.linkAndMaterialize(
           s, graft.synth.Synth.transcripts(s, convs, 20, scaleDictEnts, scaleDictProps),
-          ents, reds, dict, ei, pi, out, inputVersion = s"scale-$convs")
+          ents, reds, dict, ei, pi, out, inputVersion = s"scale-$convs",
+          dictRowsHint = Some(dictRows), dictVersion = s"bench-dict-$scaleDictEnts")
         val n = r.triples.count()
         (n, (System.nanoTime() - t0) / 1e9)
       }
@@ -157,21 +161,23 @@ object Bench {
       System.gc() // don't let this session's garbage tax the next session
       (r1._1, best)
     }
-    val (n2, t2) = scalingRun(2)
-    val (n8, t8) = scalingRun(8)
-    val (n32, t32) = scalingRun(cpus)
+    val (n2, t2) = if (sections("scaling")) scalingRun(2) else (1L, 1.0)
+    val (n8, t8) = if (sections("scaling")) scalingRun(8) else (1L, 0.25)
+    val (n32, t32) = if (sections("scaling")) scalingRun(cpus) else (1L, 0.25)
     val tput2 = n2 / t2; val tput8 = n8 / t8; val tput32 = n32 / t32
     val eff = (tput8 / tput2) / 4.0
     val effWide = (tput32 / tput8) / (cpus / 8.0)
 
     // full pipeline INCLUDING index construction, best-of-2 at full width —
     // the number comparable to the reference's end-to-end `make index` wall
-    val sFull = buildSession(cpus)
-    pipelineRun(sFull, 100, 5, 500, 50) // warmup
-    val f1 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
-    val f2 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
-    val (nFull, tFull) = (f1._1, math.min(f1._2, f2._2))
-    sFull.stop()
+    val (nFull, tFull) = if (sections("full")) {
+      val sFull = buildSession(cpus)
+      pipelineRun(sFull, 100, 5, 500, 50) // warmup
+      val f1 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
+      val f2 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
+      sFull.stop()
+      (f1._1, math.min(f1._2, f2._2))
+    } else (1L, 1.0)
 
     // ---- per-query timings on the harness tables ----
     val sparkQ = buildSession(cpus)
@@ -179,7 +185,9 @@ object Bench {
     sparkQ.sparkContext.addSparkListener(shuffleBytes)
     var lshShuffleBytes = -1L
     val errors = scala.collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryList =
+      if (sections("queries")) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
+    val results = queryList.map { case (name, fn) =>
       val before = shuffleBytes.bytes.get()
       val t0 = System.nanoTime()
       try fn(sparkQ, sfDir).count()

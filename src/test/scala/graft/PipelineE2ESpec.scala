@@ -178,4 +178,31 @@ class PipelineE2ESpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(resumed4.values.forall(_ == false), s"stale stages resumed: $resumed4")
   }
+
+  test("standalone linkAndMaterialize: a changed dictVersion invalidates resume") {
+    val entities = Synth.entityDump(spark, nEnts)
+    val redirects = Synth.redirects(spark, nEnts)
+    val transcripts = Synth.transcripts(spark, 8L, 4, nEnts, mProps)
+    val properties = Synth.propertyDump(spark, mProps)
+    val ei = graft.index.EntityIndexBuilder.build(entities)
+    val pi = graft.index.PropertyIndexBuilder.build(properties)
+    val dict = KgPipeline.dictionary(ei, entities, pi, properties)
+    val outDir = Files.createTempDirectory("graft-dictver").toString
+
+    def mentionsManifest(): String = Files.readString(
+      Paths.get(outDir, "mentions", "_MANIFEST.json"))
+
+    KgPipeline.linkAndMaterialize(spark, transcripts, entities, redirects,
+      dict, ei, pi, outDir, dictVersion = "dict-v1")
+    val m1 = mentionsManifest()
+    // same dictVersion → resumes (manifest untouched, fingerprint stable)
+    KgPipeline.linkAndMaterialize(spark, transcripts, entities, redirects,
+      dict, ei, pi, outDir, dictVersion = "dict-v1")
+    assert(mentionsManifest() == m1)
+    // CHANGED dictVersion → every dictionary-derived stage recomputes (the
+    // round-2 constant-"dict" fallback silently resumed stale mentions)
+    KgPipeline.linkAndMaterialize(spark, transcripts, entities, redirects,
+      dict, ei, pi, outDir, dictVersion = "dict-v2")
+    assert(mentionsManifest() != m1, "new dictionary must invalidate mentions")
+  }
 }
