@@ -101,8 +101,14 @@ object Canonicalize {
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         spark.sparkContext.setCheckpointDir(dir)
+        // reliable path stays EAGER: recovery correctness wants the
+        // checkpoint on stable storage before the round is consumed
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      case None =>
+        // LAZY local checkpoint: blocks cache + lineage truncates when the
+        // convergence-check job first computes them, so a round pair costs
+        // ONE driver barrier (the check), not three
+        df => df.localCheckpoint(false)
     }
     val auto = skewSaltN <= 0
     var salt = if (auto) 1 else skewSaltN
