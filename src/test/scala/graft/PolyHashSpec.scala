@@ -35,6 +35,17 @@ class PolyHashSpec extends AnyFunSuite {
     assert(fp == 97L * 31 * 31 + 98L * 31 + 99L)
   }
 
+  test("GraftExtensions injects poly_hash + vec_dot (session built WITH the extension)") {
+    // TestSpark sets spark.sql.extensions=graft.functions.GraftExtensions —
+    // a STATIC conf, so the functions below resolve WITHOUT any per-session
+    // register() call (the deployment path: spark.sql.extensions at launch)
+    val r = spark.sql(
+      "SELECT poly_hash('abc') AS h, vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .collect()(0)
+    assert(r.getLong(0) == 97L * 31 * 31 + 98L * 31 + 99L)
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("native == built-in on pseudo-random strings (property sweep)") {
     val rnd = new scala.util.Random(7)
     val pool = "abcdefghij KLMNOP.;'öü🙂"
