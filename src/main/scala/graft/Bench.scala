@@ -132,7 +132,7 @@ object Bench {
     val scaleConvs = scale * 6
     val scaleDictEnts = 500000L
     val scaleDictProps = 5000L
-    def scalingRun(c: Int): (Long, Double) = {
+    def scalingRun(c: Int): (Long, Double, Seq[Double]) = {
       val s = buildSession(c)
       val ents = graft.synth.Synth.entityDump(s, scaleDictEnts).persist()
       ents.count()
@@ -153,17 +153,24 @@ object Bench {
         (n, (System.nanoTime() - t0) / 1e9)
       }
       timedRun(200) // warmup
-      val r1 = timedRun(scaleConvs)
-      // best-of-2 on the PAIR levels (2, 8); the 32-thread run only feeds
-      // the transparency fields — one run keeps total bench wall bounded
-      val best = if (c <= 8) math.min(r1._2, timedRun(scaleConvs)._2) else r1._2
+      // min-of-3 on the PAIR levels (2, 8): this shared VM has multi-minute
+      // slow phases that move single runs ±20–40% — a contended roll on ONE
+      // side flips the pair efficiency by 0.2 (observed 0.476 vs 0.67–0.73
+      // across otherwise identical runs). All walls are reported in the
+      // JSON so a noisy artifact is diagnosable. The 32-thread run feeds
+      // only the transparency fields — one run keeps total wall bounded.
+      val reps = if (c <= 8) 3 else 1
+      val runs = (1 to reps).map(_ => timedRun(scaleConvs))
       s.stop()
       System.gc() // don't let this session's garbage tax the next session
-      (r1._1, best)
+      (runs.head._1, runs.map(_._2).min, runs.map(_._2))
     }
-    val (n2, t2) = if (sections("scaling")) scalingRun(2) else (1L, 1.0)
-    val (n8, t8) = if (sections("scaling")) scalingRun(8) else (1L, 0.25)
-    val (n32, t32) = if (sections("scaling")) scalingRun(cpus) else (1L, 0.25)
+    val (n2, t2, runs2) =
+      if (sections("scaling")) scalingRun(2) else (1L, 1.0, Seq(1.0))
+    val (n8, t8, runs8) =
+      if (sections("scaling")) scalingRun(8) else (1L, 0.25, Seq(0.25))
+    val (n32, t32, _) =
+      if (sections("scaling")) scalingRun(cpus) else (1L, 0.25, Seq(0.25))
     val tput2 = n2 / t2; val tput8 = n8 / t8; val tput32 = n32 / t32
     val eff = (tput8 / tput2) / 4.0
     val effWide = (tput32 / tput8) / (cpus / 8.0)
@@ -207,9 +214,11 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    def jarr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val scaling =
       f"""{"cpus_low":2,"cpus_high":8,"triples":$n8,""" +
         f""""sec_low":$t2%.1f,"sec_high":$t8%.1f,""" +
+        f""""runs_low":${jarr(runs2)},"runs_high":${jarr(runs8)},""" +
         f""""tput_low":$tput2%.1f,"tput_high":$tput8%.1f,""" +
         f""""efficiency":$eff%.3f}"""
     val scalingWide =
