@@ -179,6 +179,27 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(resumed4.values.forall(_ == false), s"stale stages resumed: $resumed4")
   }
 
+  test("pipeline over a TranscriptStore table == pipeline over the raw frame") {
+    val entities = Synth.entityDump(spark, nEnts)
+    val properties = Synth.propertyDump(spark, mProps)
+    val redirects = Synth.redirects(spark, nEnts)
+    val transcripts = Synth.transcripts(spark, 12L, 4, nEnts, mProps)
+
+    val tableDir = Files.createTempDirectory("graft-ts-table").toString
+    graft.io.TranscriptStore.write(transcripts, tableDir, nBuckets = 8)
+    val fromTable = graft.io.TranscriptStore.read(spark, tableDir)
+    // the conv_bucket partition column rides along; the pipeline must not care
+    val r1 = KgPipeline.run(spark, fromTable, entities, properties, redirects,
+      Files.createTempDirectory("graft-ts-out1").toString, inputVersion = "ts")
+    val r2 = KgPipeline.run(spark, transcripts, entities, properties, redirects,
+      Files.createTempDirectory("graft-ts-out2").toString, inputVersion = "raw")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(r1.triples) == canon(r2.triples))
+    assert(r1.triples.count() > 0)
+  }
+
   test("standalone linkAndMaterialize: a changed dictVersion invalidates resume") {
     val entities = Synth.entityDump(spark, nEnts)
     val redirects = Synth.redirects(spark, nEnts)
