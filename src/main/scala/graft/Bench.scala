@@ -44,8 +44,25 @@ object Bench {
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
+  /** Each timed run writes multi-GB stage outputs; deleting them right
+    * after the count keeps BOTH the disk and the page cache clean — without
+    * this, runs later in the bench (always the HIGHER parallelism levels)
+    * measured against a fuller disk and dirtier cache, a systematic bias
+    * against exactly the side the scaling criterion divides by (and ~50 GB
+    * of leaked /tmp per bench invocation).
+    */
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   /** Run the full pipeline on a fresh synthesized corpus; returns
-    * (triples emitted, wall seconds).
+    * (triples emitted, wall seconds). The output directory is deleted after
+    * the count (see [[deleteRecursively]]).
     */
   def pipelineRun(spark: SparkSession, convs: Long, turns: Int,
       ents: Long, props: Long): (Long, Double) = {
@@ -60,7 +77,9 @@ object Bench {
       out,
       inputVersion = s"bench-$convs-$turns-$ents-$props")
     val nTriples = res.triples.count()
-    (nTriples, (System.nanoTime() - t0) / 1e9)
+    val sec = (System.nanoTime() - t0) / 1e9
+    deleteRecursively(out)
+    (nTriples, sec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -150,7 +169,9 @@ object Bench {
           ents, reds, dict, ei, pi, out, inputVersion = s"scale-$convs",
           dictRowsHint = Some(dictRows), dictVersion = s"bench-dict-$scaleDictEnts")
         val n = r.triples.count()
-        (n, (System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        deleteRecursively(out) // outside the timed span; see scaladoc
+        (n, sec)
       }
       timedRun(200) // warmup
       // min-of-3 on the PAIR levels (2, 8): this shared VM has multi-minute

@@ -44,6 +44,7 @@ object SparkEntry {
       "p11_qualifier_explode" -> (C.p11QualifierExplode _),
       "p2_regex_parse" -> (C.p2RegexParse _),
       "cc_components" -> (C.ccComponents _),
+      "s1_dump_agg" -> (K.s1DumpAgg _),
       "kg_entity_index" -> (K.kgEntityIndex _),
       "kg_property_index" -> (K.kgPropertyIndex _),
       "kg_mentions" -> (K.kgMentions _),

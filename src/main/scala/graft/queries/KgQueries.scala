@@ -14,6 +14,27 @@ import graft.pipeline.{Mentions, Triples}
 object KgQueries {
   import CoreQueries.tbl
 
+  /** S1 — the reference's SPARQL entity-dump query re-expressed in-engine
+    * ([[graft.sources.DumpQueries.entityDump]]) over an RDF-shaped (s, p, o)
+    * triple table derived from `part`: GROUP_CONCAT-DISTINCT aliases/types
+    * with the "; " separator, optional description, sitelink count.
+    */
+  def s1DumpAgg(s: SparkSession, d: String): DataFrame = {
+    val part = tbl(s, d, "part")
+    def qid = concat(lit("Q"), col("p_partkey")).as("s")
+    val t = part.select(qid, lit("rdfs:label").as("p"), col("p_name").as("o"))
+      .unionAll(part.filter(pmod(col("p_partkey"), lit(10)) =!= 9)
+        .select(qid, lit("schema:description").as("p"), col("p_type").as("o")))
+      .unionAll(part.select(qid, lit("wikibase:sitelinks").as("p"),
+        col("p_size").cast("string").as("o")))
+      .unionAll(part.select(qid, lit("skos:altLabel").as("p"), col("p_brand").as("o")))
+      .unionAll(part.select(qid, lit("skos:altLabel").as("p"),
+        element_at(split(col("p_name"), " "), 1).as("o")))
+      .unionAll(part.select(qid, lit("wdt:P31").as("p"),
+        concat(lit("T"), pmod(col("p_partkey"), lit(7))).as("o")))
+    graft.sources.DumpQueries.entityDump(t)
+  }
+
   /** part → entity dump: label = p_name (collides), info/desc = p_type,
     * count = p_size (ties), seq = p_partkey; aliases: p_brand (shared →
     * ambiguous), 'uniq-<id>' every 10th (unique), '<first word> rod' every

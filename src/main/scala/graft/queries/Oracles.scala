@@ -113,6 +113,29 @@ object Oracles {
 
     // ---- KG cascade / mention / triple oracles on derived dictionaries ----
 
+    // S1: the reference's SPARQL dump aggregation (GROUP_CONCAT DISTINCT with
+    // "; ", fixed to sorted order on both sides) over an RDF-shaped table
+    "s1_dump_agg" ->
+      """WITH t AS (
+        |  SELECT 'Q'||p_partkey AS s, 'rdfs:label' AS p, p_name AS o FROM part
+        |  UNION ALL SELECT 'Q'||p_partkey, 'schema:description', p_type
+        |    FROM part WHERE p_partkey % 10 <> 9
+        |  UNION ALL SELECT 'Q'||p_partkey, 'wikibase:sitelinks', CAST(p_size AS VARCHAR) FROM part
+        |  UNION ALL SELECT 'Q'||p_partkey, 'skos:altLabel', p_brand FROM part
+        |  UNION ALL SELECT 'Q'||p_partkey, 'skos:altLabel', string_split(p_name, ' ')[1] FROM part
+        |  UNION ALL SELECT 'Q'||p_partkey, 'wdt:P31', 'T'||(p_partkey % 7) FROM part),
+        |labels AS (SELECT s AS qid, o AS label FROM t WHERE p = 'rdfs:label'),
+        |descs AS (SELECT s AS qid, min(o) AS d FROM t WHERE p = 'schema:description' GROUP BY s),
+        |links AS (SELECT s AS qid, max(CAST(o AS BIGINT)) AS cnt FROM t WHERE p = 'wikibase:sitelinks' GROUP BY s),
+        |ty AS (SELECT s AS qid, string_agg(DISTINCT o, '; ' ORDER BY o) AS types
+        |       FROM t WHERE p = 'wdt:P31' GROUP BY s),
+        |al AS (SELECT s AS qid, string_agg(DISTINCT o, '; ' ORDER BY o) AS aliases
+        |       FROM t WHERE p = 'skos:altLabel' GROUP BY s)
+        |SELECT l.qid, l.label, COALESCE(d.d, '') AS "desc", COALESCE(k.cnt, 0) AS count,
+        |       COALESCE(ty.types, '') AS types, COALESCE(al.aliases, '') AS aliases
+        |FROM labels l LEFT JOIN descs d USING (qid) LEFT JOIN links k USING (qid)
+        |LEFT JOIN ty USING (qid) LEFT JOIN al USING (qid)""".stripMargin,
+
     "kg_entity_index" ->
       """WITH ents AS (
         |  SELECT 'Q' || p_partkey AS qid, p_name AS label, p_type AS info,

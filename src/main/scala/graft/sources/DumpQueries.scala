@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine equivalents of the reference's SPARQL dump queries (S1).
+  *
+  * The reference builds its input TSVs by posting SPARQL to a QLever
+  * endpoint (`Makefile:20-24`, `wikidata_queries.txt`): per-entity /
+  * per-property GROUP_CONCAT-DISTINCT aggregations with a `"; "` separator
+  * and a popularity ORDER BY. The ENDPOINT DOWNLOAD itself is out of scope
+  * (zero egress, declared in SURVEY §2.1) — but the queries' aggregation
+  * semantics are plain relational algebra, re-expressed here over a generic
+  * `(s, p, o)` triples table so a user with an RDF export (e.g. a Wikidata
+  * truthy dump as parquet) can build the same dump tables fully in-engine.
+  *
+  * Determinism: SPARQL's GROUP_CONCAT order is engine-defined; these fix it
+  * to the sorted-distinct order (`sort_array(collect_set(...))`) so outputs
+  * are stable under any partitioning AND reproducible by any SQL engine
+  * (`string_agg(DISTINCT x, '; ' ORDER BY x)` — the DuckDB oracle form).
+  *
+  * Scale shape: per-predicate filters then hash aggregations on the subject
+  * — each a single shuffle on `s`; the joins co-partition on the same key
+  * so AQE folds them into one exchange per side. No driver state.
+  */
+object DumpQueries {
+
+  private def agg(triples: DataFrame, pred: String, out: String): DataFrame =
+    triples.filter(col("p") === pred)
+      .groupBy(col("s").as("qid"))
+      .agg(concat_ws("; ", sort_array(collect_set(col("o")))).as(out))
+
+  /** The entity-dump query (`wikidata_queries.txt` / `Makefile
+    * download_entities`): label, optional description, sitelink count,
+    * "; "-joined distinct types and aliases — one row per labeled subject,
+    * the exact TSV-column shape `TsvLoader.load` / `ParseKit.parseEntities`
+    * consume.
+    */
+  def entityDump(triples: DataFrame): DataFrame = {
+    val labels = triples.filter(col("p") === "rdfs:label")
+      .select(col("s").as("qid"), col("o").as("label"))
+    val descs = triples.filter(col("p") === "schema:description")
+      .groupBy(col("s").as("qid")).agg(min(col("o")).as("desc"))
+    val links = triples.filter(col("p") === "wikibase:sitelinks")
+      .groupBy(col("s").as("qid"))
+      .agg(max(col("o").cast("long")).as("count"))
+    labels
+      .join(descs, Seq("qid"), "left")
+      .join(links, Seq("qid"), "left")
+      .join(agg(triples, "wdt:P31", "types"), Seq("qid"), "left")
+      .join(agg(triples, "skos:altLabel", "aliases"), Seq("qid"), "left")
+      .select(col("qid"), col("label"),
+        coalesce(col("desc"), lit("")).as("desc"),
+        coalesce(col("count"), lit(0L)).as("count"),
+        coalesce(col("types"), lit("")).as("types"),
+        coalesce(col("aliases"), lit("")).as("aliases"))
+  }
+
+  /** The property-dump query (`Makefile download_properties`): label, usage
+    * count (one triple per use), "; "-joined aliases and inverse properties.
+    */
+  def propertyDump(triples: DataFrame): DataFrame = {
+    val labels = triples.filter(col("p") === "rdfs:label")
+      .select(col("s").as("pid"), col("o").as("label"))
+    val counts = triples.groupBy(col("p").as("pid"))
+      .agg(count(lit(1)).as("count"))
+    labels
+      .join(counts, Seq("pid"), "left")
+      .join(agg(triples, "skos:altLabel", "aliases")
+        .withColumnRenamed("qid", "pid"), Seq("pid"), "left")
+      .join(agg(triples, "wdt:P1696", "inverses")
+        .withColumnRenamed("qid", "pid"), Seq("pid"), "left")
+      .select(col("pid"), col("label"),
+        coalesce(col("count"), lit(0L)).as("count"),
+        coalesce(col("aliases"), lit("")).as("aliases"),
+        coalesce(col("inverses"), lit("")).as("inverses"))
+  }
+
+  /** The redirect-dump query (`Makefile download_redirects`):
+    * `?redir owl:sameAs ?ent` grouped by the TARGET with the "; "-joined
+    * distinct sources — the reference's `redirects.tsv` input shape.
+    */
+  def redirectDump(triples: DataFrame): DataFrame =
+    triples.filter(col("p") === "owl:sameAs")
+      .groupBy(col("o").as("qid"))
+      .agg(concat_ws("; ", sort_array(collect_set(col("s")))).as("redirects"))
+}

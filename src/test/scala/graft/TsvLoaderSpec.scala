@@ -53,6 +53,35 @@ class TsvLoaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("expected 6"))
   }
 
+  test("DumpQueries: SPARQL dump aggregations over an (s,p,o) triple table") {
+    import spark.implicits._
+    import graft.sources.DumpQueries
+    val t = Seq(
+      ("Q1", "rdfs:label", "alpha"),
+      ("Q1", "skos:altLabel", "beta"), ("Q1", "skos:altLabel", "al"),
+      ("Q1", "skos:altLabel", "beta"), // DISTINCT
+      ("Q1", "wikibase:sitelinks", "42"),
+      ("Q2", "rdfs:label", "gamma"), // no aliases/links/desc → '' / 0
+      ("Q1", "schema:description", "a thing"),
+      ("P5", "rdfs:label", "rel"),
+      ("Q1", "P5", "Q2"), ("Q2", "P5", "Q1"), // two usages of P5
+      ("P5", "wdt:P1696", "P6"),
+      ("R9", "owl:sameAs", "Q1"), ("R8", "owl:sameAs", "Q1"))
+      .toDF("s", "p", "o")
+    val ents = DumpQueries.entityDump(t).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getString(5))))
+      .toMap
+    assert(ents("Q1") == (("alpha", "a thing", 42L, "al; beta")))
+    assert(ents("Q2") == (("gamma", "", 0L, "")))
+    val props = DumpQueries.propertyDump(t).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getString(4))))
+      .toMap
+    assert(props("P5") == (("rel", 2L, "P6")))
+    val reds = DumpQueries.redirectDump(t).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(reds.toSeq == Seq(("Q1", "R8; R9")))
+  }
+
   test("redirect file parse mirrors kg-entities.rs:63-93") {
     val path = writeTsv(Seq(
       "<http://www.wikidata.org/entity/Q1>\t<http://www.wikidata.org/entity/Q7>; <http://www.wikidata.org/entity/Q9>",
