@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark (driver contract: ONE JSON line on stdout).
   *
   * Sections:
-  *  1. every SparkEntry query timed on SPARK_GRAFT_SF_DIR ("queries"); a
-  *     query that THROWS is recorded in "errors" — never as a fake timing;
+  *  1. every SparkEntry query timed on SPARK_GRAFT_SF_DIR ("queries"),
+  *     min-of-3 per query (single runs on this shared VM carry multi-second
+  *     contention outliers); a query that THROWS is recorded in "errors" —
+  *     never as a fake timing. The active section set is recorded in
+  *     "sections"; a skipped section emits JSON null, never a placeholder;
   *  2. the end-to-end KG pipeline (extract→link→canonicalize→materialize)
   *     on a synthesized transcript corpus → triples/sec ("triples_per_sec");
   *  3. the north-rule two-parallelism scaling runs: the SAME pipeline job on
@@ -134,9 +137,15 @@ object Bench {
       System.gc()
       (n, best)
     }
-    val (m1, ts1) = if (sections("narrow")) scanRun(1, repeats = 2) else (1L, 1.0)
-    val (m4, ts4) = if (sections("narrow")) scanRun(4, repeats = 5) else (1L, 0.25)
-    val effNarrow = ((m4 / ts4) / (m1 / ts1)) / 4.0
+    // a SKIPPED section must be visibly absent from the artifact (JSON
+    // null), never a plausible-looking synthetic number (ADVICE r03 #1);
+    // the active section set is recorded alongside.
+    val narrowOpt =
+      if (sections("narrow")) {
+        val (m1, ts1) = scanRun(1, repeats = 2)
+        val (m4, ts4) = scanRun(4, repeats = 5)
+        Some((m1, ts1, m4, ts4))
+      } else None
 
     // The SCALING job is the north-rule span — extract → link → canonicalize
     // → materialize over an ALREADY-BUILT dictionary (the reference's index
@@ -186,26 +195,24 @@ object Bench {
       System.gc() // don't let this session's garbage tax the next session
       (runs.head._1, runs.map(_._2).min, runs.map(_._2))
     }
-    val (n2, t2, runs2) =
-      if (sections("scaling")) scalingRun(2) else (1L, 1.0, Seq(1.0))
-    val (n8, t8, runs8) =
-      if (sections("scaling")) scalingRun(8) else (1L, 0.25, Seq(0.25))
-    val (n32, t32, _) =
-      if (sections("scaling")) scalingRun(cpus) else (1L, 0.25, Seq(0.25))
-    val tput2 = n2 / t2; val tput8 = n8 / t8; val tput32 = n32 / t32
-    val eff = (tput8 / tput2) / 4.0
-    val effWide = (tput32 / tput8) / (cpus / 8.0)
+    val scalingOpt =
+      if (sections("scaling")) {
+        val (n2, t2, runs2) = scalingRun(2)
+        val (n8, t8, runs8) = scalingRun(8)
+        val (n32, t32, _) = scalingRun(cpus)
+        Some((n2, t2, runs2, n8, t8, runs8, n32, t32))
+      } else None
 
     // full pipeline INCLUDING index construction, best-of-2 at full width —
     // the number comparable to the reference's end-to-end `make index` wall
-    val (nFull, tFull) = if (sections("full")) {
+    val fullOpt = if (sections("full")) {
       val sFull = buildSession(cpus)
       pipelineRun(sFull, 100, 5, 500, 50) // warmup
       val f1 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
       val f2 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
       sFull.stop()
-      (f1._1, math.min(f1._2, f2._2))
-    } else (1L, 1.0)
+      Some((f1._1, math.min(f1._2, f2._2)))
+    } else None
 
     // ---- per-query timings on the harness tables ----
     val sparkQ = buildSession(cpus)
@@ -215,18 +222,30 @@ object Bench {
     val errors = scala.collection.mutable.Map.empty[String, String]
     val queryList =
       if (sections("queries")) SparkEntry.queries.toSeq.sortBy(_._1) else Nil
+    // min-of-3 per query: single-run per-query timings on this shared VM
+    // carry multi-second contention outliers (BENCH_r03's 5.4 s
+    // dedup_jaccard_pairs vs 0.7–1.1 s in every committed replicate —
+    // VERDICT r03 #5); the min approximates the contention-free wall the
+    // same way the scaling pairs already do
+    val queryReps = 3
     val results = queryList.map { case (name, fn) =>
-      val before = shuffleBytes.bytes.get()
-      val t0 = System.nanoTime()
-      try fn(sparkQ, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < queryReps && !errors.contains(name)) {
+        val before = shuffleBytes.bytes.get()
+        val t0 = System.nanoTime()
+        try fn(sparkQ, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+        }
+        finally sparkQ.catalog.clearCache()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // the shuffle-bytes regression guard reads ONE run's delta
+        if (rep == 0 && name == "dedup_minhash_lsh")
+          lshShuffleBytes = shuffleBytes.bytes.get() - before
+        rep += 1
       }
-      finally sparkQ.catalog.clearCache()
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (name == "dedup_minhash_lsh")
-        lshShuffleBytes = shuffleBytes.bytes.get() - before
-      name -> sec
+      name -> best
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
@@ -236,28 +255,39 @@ object Bench {
     val total = results.map(_._2).sum
 
     def jarr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
-    val scaling =
+    val scaling = scalingOpt.map { case (n2, t2, runs2, n8, t8, runs8, _, _) =>
+      val tput2 = n2 / t2; val tput8 = n8 / t8
       f"""{"cpus_low":2,"cpus_high":8,"triples":$n8,""" +
         f""""sec_low":$t2%.1f,"sec_high":$t8%.1f,""" +
         f""""runs_low":${jarr(runs2)},"runs_high":${jarr(runs8)},""" +
         f""""tput_low":$tput2%.1f,"tput_high":$tput8%.1f,""" +
-        f""""efficiency":$eff%.3f}"""
-    val scalingWide =
+        f""""efficiency":${(tput8 / tput2) / 4.0}%.3f}"""
+    }.getOrElse("null")
+    val scalingWide = scalingOpt.map { case (_, _, _, n8, t8, _, n32, t32) =>
+      val tput8 = n8 / t8; val tput32 = n32 / t32
       f"""{"cpus_low":8,"cpus_high":$cpus,"triples":$n32,""" +
         f""""sec_low":$t8%.1f,"sec_high":$t32%.1f,""" +
         f""""tput_low":$tput8%.1f,"tput_high":$tput32%.1f,""" +
-        f""""efficiency":$effWide%.3f}"""
-    val scalingNarrow =
+        f""""efficiency":${(tput32 / tput8) / (cpus / 8.0)}%.3f}"""
+    }.getOrElse("null")
+    val scalingNarrow = narrowOpt.map { case (m1, ts1, m4, ts4) =>
       f"""{"cpus_low":1,"cpus_high":4,"mentions":$m4,""" +
         f""""sec_low":$ts1%.1f,"sec_high":$ts4%.1f,""" +
         f""""tput_low":${m1 / ts1}%.1f,"tput_high":${m4 / ts4}%.1f,""" +
-        f""""efficiency":$effNarrow%.3f}"""
-    val fullPipeline =
+        f""""efficiency":${((m4 / ts4) / (m1 / ts1)) / 4.0}%.3f}"""
+    }.getOrElse("null")
+    val fullPipeline = fullOpt.map { case (nFull, tFull) =>
       f"""{"cpus":$cpus,"triples":$nFull,"sec":$tFull%.1f,""" +
         f""""tput":${nFull / tFull}%.1f}"""
+    }.getOrElse("null")
+    val tputTop = scalingOpt.map { case (_, _, _, _, _, _, n32, t32) =>
+      f"${n32 / t32}%.1f"
+    }.getOrElse("null")
+    val sectionsJson = sections.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""errors":$errJson,"sf":"$sfDir","triples_per_sec":$tput32%.1f,""" +
+        f""""query_reps":$queryReps,"sections":$sectionsJson,""" +
+        f""""errors":$errJson,"sf":"$sfDir","triples_per_sec":$tputTop,""" +
         f""""full_pipeline":$fullPipeline,""" +
         f""""lsh_shuffle_bytes":$lshShuffleBytes,""" +
         f""""scaling":$scaling,"scaling_wide":$scalingWide,""" +

@@ -15,16 +15,33 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * fused float dot product), both codegen'd.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity check with a proper analysis-time error: without it, SQL like
+    * `poly_hash()` or `vec_dot(a)` dies in the builder with a bare
+    * IndexOutOfBoundsException instead of the standard wrong-number-of-
+    * arguments message (ADVICE r03).
+    */
+  private def requireArity(name: String, expected: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (exprs.length != expected)
+      throw new org.apache.spark.SparkException(
+        s"[WRONG_NUM_ARGS] The `$name` function requires $expected " +
+          s"parameter(s) but the actual number is ${exprs.length}.")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PolyHash(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("poly_hash", 1, exprs)
+        PolyHash(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatVecDot(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("vec_dot", 2, exprs)
+        FloatVecDot(exprs(0), exprs(1))
+      }))
   }
 }

@@ -54,15 +54,24 @@ object TranscriptStore {
 
   private def layoutPath(path: String) = Paths.get(path, "_LAYOUT.json")
 
-  /** Write transcripts partitioned by conv bucket and record the layout. */
+  /** Write transcripts partitioned by conv bucket and record the layout.
+    * @param maxRecordsPerFile per-file record bound (0 = writer default) —
+    *                          the same compaction policy as
+    *                          [[ManifestStore.runStage]]: without it, one
+    *                          writer task per bucket emits one arbitrarily
+    *                          large file; recorded in `_LAYOUT.json`
+    */
   def write(transcripts: DataFrame, path: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets,
+      maxRecordsPerFile: Long = 4000000L): Unit = {
     transcripts
       .withColumn("conv_bucket", bucketCol(col("conv_id"), nBuckets))
-      .write.mode("overwrite").partitionBy("conv_bucket").parquet(path)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("conv_bucket").parquet(path)
     val tmp = layoutPath(path).resolveSibling("_LAYOUT.json.tmp")
     Files.write(tmp,
-      s"""{"table":"transcripts","partitioning":"conv_bucket","nBuckets":$nBuckets}"""
+      s"""{"table":"transcripts","partitioning":"conv_bucket","nBuckets":$nBuckets,"maxRecordsPerFile":$maxRecordsPerFile}"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, layoutPath(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -166,10 +166,18 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
       maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue): DataFrame = {
     val toks = cappedTokenSets(df, idCol, textCol, maxDf)
+    minhashPairsFrom(toks, bandsOfToks(toks, numHashes, bands),
+      thresholdPct, maxBucket)
+  }
+
+  /** Candidate join + exact verify over prepared token sets and (uncapped)
+    * banding rows — the back half shared by [[minhashLshPairs]] (fresh plans)
+    * and [[minhashNearDupsTracked]] (persisted plans, evaluated once).
+    */
+  private def minhashPairsFrom(toks: DataFrame, bandedUncapped: DataFrame,
+      thresholdPct: Int, maxBucket: Long): DataFrame = {
     // ids-only banding: the wide `toks` column does NOT ride the band shuffle
-    val banded = capBuckets(
-      bandsOfToks(toks, numHashes, bands),
-      Seq("band", "bhash"), maxBucket)
+    val banded = capBuckets(bandedUncapped, Seq("band", "bhash"), maxBucket)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
@@ -219,17 +227,29 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 4,
-      maxBucket: Long = Long.MaxValue): DataFrame = {
+      maxBucket: Long = Long.MaxValue): DataFrame =
+    simhashPairsFrom(simhashBandedBits(df, idCol, textCol, chunks),
+      maxHamming, maxBucket)
+
+  /** UNCAPPED (id, bits, chunk, ckey) banding rows — the one expensive plan
+    * of the simhash family (everything downstream is joins over it).
+    */
+  private def simhashBandedBits(df: DataFrame, idCol: String, textCol: String,
+      chunks: Int): DataFrame = {
     val bitsPerChunk = SimhashBits / chunks
-    val fp = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       simhashBits(array_distinct(tokens(col(textCol)))).as("bits"))
-    val banded = capBuckets(
-      fp.select(col("id"), col("bits"),
+      .select(col("id"), col("bits"),
         posexplode(transform(sequence(lit(0), lit(chunks - 1)),
           c => aggregate(slice(col("bits"), c * bitsPerChunk + 1, lit(bitsPerChunk)),
             lit(0L), (acc, x) => acc * 2 + x)))
-          .as(Seq("chunk", "ckey"))),
-      Seq("chunk", "ckey"), maxBucket)
+          .as(Seq("chunk", "ckey")))
+  }
+
+  /** Cap + candidate join + Hamming verify over prepared banding rows. */
+  private def simhashPairsFrom(bandedBits: DataFrame, maxHamming: Int,
+      maxBucket: Long): DataFrame = {
+    val banded = capBuckets(bandedBits, Seq("chunk", "ckey"), maxBucket)
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.id") < col("y.id"))
@@ -244,16 +264,8 @@ object Dedup {
     * measurement twin of [[minhashBands]].
     */
   def simhashBands(df: DataFrame, idCol: String, textCol: String,
-      chunks: Int = 4): DataFrame = {
-    val bitsPerChunk = SimhashBits / chunks
-    df.select(col(idCol).as("id"),
-      simhashBits(array_distinct(tokens(col(textCol)))).as("bits"))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-          c => aggregate(slice(col("bits"), c * bitsPerChunk + 1, lit(bitsPerChunk)),
-            lit(0L), (acc, x) => acc * 2 + x)))
-          .as(Seq("chunk", "ckey")))
-  }
+      chunks: Int = 4): DataFrame =
+    simhashBandedBits(df, idCol, textCol, chunks).drop("bits")
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
 
@@ -275,29 +287,60 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
-      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01): DataFrame = {
-    val corpus = df.count()
+      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01,
+      corpusRowsHint: Option[Long] = None): DataFrame =
+    minhashNearDupsTracked(df, idCol, textCol, numHashes, bands, thresholdPct,
+      maxBucket, maxDfFraction, corpusRowsHint)._1
+
+  /** [[minhashNearDups]] plus the persisted handles to release once the
+    * result is materialized (the `detectTracked` pattern — VERDICT r03 #1):
+    * the tokenize → sign → band plan — the dominant cost at corpus scale —
+    * is persisted and evaluated EXACTLY ONCE, by the drop-volume measurement
+    * action; the cap semi-join and the candidate/verify joins then read the
+    * cache (every leaf of the returned plan is an InMemoryRelation —
+    * plan-asserted in OpsSpec). The round-3 shape re-evaluated it ~3×:
+    * df.count() for the maxDf sizing (now a caller hint when available),
+    * an uncapped banding pass for the measurement, and a from-scratch capped
+    * join.
+    *
+    * @param corpusRowsHint known corpus row count (e.g. a table manifest's) —
+    *                       skips the sizing count job
+    */
+  def minhashNearDupsTracked(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
+      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01,
+      corpusRowsHint: Option[Long] = None): (DataFrame, Seq[DataFrame]) = {
+    val corpus = corpusRowsHint.getOrElse(df.count())
     val maxDf = math.max(100L, (corpus * maxDfFraction).toLong)
-    val (nb, nr) = countOverfullBuckets(
-      minhashBands(df, idCol, textCol, numHashes, bands, maxDf),
-      Seq("band", "bhash"), maxBucket)
+    val toks = cappedTokenSets(df, idCol, textCol, maxDf).persist()
+    val banded = bandsOfToks(toks, numHashes, bands).persist()
+    // this ONE action evaluates the signature plan and fills BOTH caches
+    val (nb, nr) = countOverfullBuckets(banded, Seq("band", "bhash"), maxBucket)
     if (nb > 0)
       log.info(s"minhashNearDups: dropping $nb overfull band buckets " +
         s"($nr rows) at maxBucket=$maxBucket, maxDf=$maxDf, corpus=$corpus")
-    minhashLshPairs(df, idCol, textCol, numHashes, bands, thresholdPct,
-      maxDf, maxBucket)
+    (minhashPairsFrom(toks, banded, thresholdPct, maxBucket), Seq(toks, banded))
   }
 
   /** Capped-by-default SimHash near-dup entry point — see
-    * [[minhashNearDups]] for the cap rationale.
+    * [[minhashNearDups]] for the cap rationale. Single-evaluation like the
+    * minhash twin; prefer [[simhashNearDupsTracked]] to release the cache.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Long = 1000L): DataFrame = {
-    val (nb, nr) = countOverfullBuckets(
-      simhashBands(df, idCol, textCol, chunks), Seq("chunk", "ckey"), maxBucket)
+      maxHamming: Int = 3, chunks: Int = 4, maxBucket: Long = 1000L): DataFrame =
+    simhashNearDupsTracked(df, idCol, textCol, maxHamming, chunks, maxBucket)._1
+
+  /** [[simhashNearDups]] plus the persisted handle to release once the
+    * result is materialized (see [[minhashNearDupsTracked]]).
+    */
+  def simhashNearDupsTracked(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4,
+      maxBucket: Long = 1000L): (DataFrame, Seq[DataFrame]) = {
+    val banded = simhashBandedBits(df, idCol, textCol, chunks).persist()
+    val (nb, nr) = countOverfullBuckets(banded, Seq("chunk", "ckey"), maxBucket)
     if (nb > 0)
       log.info(s"simhashNearDups: dropping $nb overfull chunk buckets " +
         s"($nr rows) at maxBucket=$maxBucket")
-    simhashPairs(df, idCol, textCol, maxHamming, chunks, maxBucket)
+    (simhashPairsFrom(banded, maxHamming, maxBucket), Seq(banded))
   }
 }

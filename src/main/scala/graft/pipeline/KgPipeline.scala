@@ -29,6 +29,27 @@ object KgPipeline {
       linkScores: DataFrame, triples: DataFrame, nodes: DataFrame,
       edges: DataFrame, metrics: DataFrame)
 
+  /** Stages whose write jobs also observe an approx-distinct count (the
+    * downstream skew hint): mentions' distinct linked ids feed the
+    * link-score salt gate.
+    */
+  private val StageDistinct: Map[String, String] = Map("mentions" -> "id")
+
+  /** Default per-file record bound for stage writes — the file-size policy a
+    * real table format's compaction would own: bounds the one-giant-file-
+    * per-task shape of low-parallelism writes (~a few hundred MB per file
+    * for these schemas). Recorded in each stage manifest.
+    */
+  val DefaultMaxRecordsPerFile: Long = 4000000L
+
+  /** Bucket/sort spec of the bucketed mentions stage (`mentionBuckets > 0`):
+    * conversation-keyed, so the triples walk and the co-reference groupBy
+    * read it exchange-free.
+    */
+  val MentionBucketCols: Seq[String] = Seq("conv_id")
+  val MentionSortCols: Seq[String] =
+    Seq("conv_id", "turn_idx", "span_start", "span_end", "id")
+
   /** Rendered entity+property dictionary for the linker, with popularity
     * weights carried from the dumps.
     */
@@ -106,7 +127,9 @@ object KgPipeline {
       saltN: Int = 16,
       inputVersion: String = "unversioned",
       checkpointDir: Option[String] = None,
-      dictBroadcastMaxRows: Long = 20000000L): Result = {
+      dictBroadcastMaxRows: Long = 20000000L,
+      maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
+      mentionBuckets: Int = 0): Result = {
 
     val store = new ManifestStore(spark, outDir)
     val t0 = System.currentTimeMillis()
@@ -120,7 +143,12 @@ object KgPipeline {
         parents.map(p => s"$p=${chain(p).hashCode}").mkString(",") + "]"
       chain(stage) = fp
       val s = System.currentTimeMillis()
-      val (df, resumed) = store.runStage(stage, fp, partitionBy)(f)
+      val (df, resumed) =
+        if (stage == "mentions" && mentionBuckets > 0)
+          store.runStageBucketed(stage, fp, MentionBucketCols, MentionSortCols,
+            mentionBuckets, StageDistinct.get(stage), maxRecordsPerFile)(f)
+        else store.runStage(stage, fp, partitionBy,
+          StageDistinct.get(stage), maxRecordsPerFile)(f)
       metricsRows += ((stage, store.rowCountOf(stage).getOrElse(-1L),
         System.currentTimeMillis() - s, resumed))
       df
@@ -145,7 +173,8 @@ object KgPipeline {
     val r = linkAndMaterialize(spark, transcripts, entities, redirects, dict,
       entityIndex, propertyIndex, outDir, saltN, inputVersion, checkpointDir,
       dictBroadcastMaxRows, dictRowsHint, s"ei=${chain("entity_index")};pi=${chain("property_index")}",
-      (st, pr, pb) => f => timed(st, pr, pb)(f))
+      (st, pr, pb) => f => timed(st, pr, pb)(f),
+      maxRecordsPerFile, mentionBuckets)
 
     import spark.implicits._
     val metrics = metricsRows.toSeq
@@ -185,7 +214,9 @@ object KgPipeline {
       dictBroadcastMaxRows: Long = 20000000L,
       dictRowsHint: Option[Long] = None,
       dictVersion: String = "dict",
-      timedOpt: (String, Seq[String], Seq[String]) => (=> DataFrame) => DataFrame = null): Result = {
+      timedOpt: (String, Seq[String], Seq[String]) => (=> DataFrame) => DataFrame = null,
+      maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
+      mentionBuckets: Int = 0): Result = {
 
     val timed: (String, Seq[String], Seq[String]) => (=> DataFrame) => DataFrame =
       if (timedOpt != null) timedOpt
@@ -198,7 +229,11 @@ object KgPipeline {
           val fp = s"iv=$inputVersion;saltN=$saltN;stage=$stage;parents=[" +
             parents.map(p => s"$p=${chain.getOrElse(p, dictVersion).hashCode}").mkString(",") + "]"
           chain(stage) = fp
-          store.runStage(stage, fp, partitionBy)(f)._1
+          if (stage == "mentions" && mentionBuckets > 0)
+            store.runStageBucketed(stage, fp, MentionBucketCols, MentionSortCols,
+              mentionBuckets, StageDistinct.get(stage), maxRecordsPerFile)(f)._1
+          else store.runStage(stage, fp, partitionBy,
+            StageDistinct.get(stage), maxRecordsPerFile)(f)._1
         }
       }
 
@@ -211,11 +246,23 @@ object KgPipeline {
     }
     // the stage is materialized (or resumed) — release detection's caches
     mentionCaches.foreach(_.unpersist(blocking = false))
+    // skew hint for the link-score salt gate: mean mentions per linked id
+    // from the mentions manifest (rows + approx-distinct, both observed for
+    // free during the stage write). A resumed pre-hint manifest yields None
+    // → the conservative salted shape.
+    val mStore = new ManifestStore(spark, outDir)
+    val meanIdFreq = for {
+      r <- mStore.rowCountOf("mentions")
+      d <- mStore.distinctCountOf("mentions") if d > 0
+    } yield r.toDouble / d
     val scores = timed("link_scores", Seq("mentions"), Nil) {
-      SaltedAgg.linkScores(mentions, saltN)
+      SaltedAgg.linkScores(mentions, saltN, meanIdFreq)
     }
     val triples = timed("triples", Seq("mentions"), Nil) {
-      Triples.extractFast(mentions)
+      // over the bucketed mentions table the relational-grouping walk plans
+      // with zero Exchange (the write already co-located conversations)
+      if (mentionBuckets > 0) Triples.extractBucketed(mentions)
+      else Triples.extractFast(mentions)
     }
     val canon = timed("canonical_map", Seq("mentions"), Nil) {
       Canonicalize.connectedComponents(

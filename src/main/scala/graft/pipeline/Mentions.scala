@@ -217,15 +217,19 @@ object Mentions {
     * The dictionary is collected to the driver and broadcast — use
     * [[detectAuto]] when the dictionary may exceed broadcast scale.
     */
-  def detectFast(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4): DataFrame = {
-    val spark = turns.sparkSession
-    import spark.implicits._
-    // EXECUTOR-PARALLEL compaction: each partition decodes its rows into one
-    // flat DictRows (the expensive per-row work runs on executors, in
-    // parallel); the driver only arraycopies the partials together. The
-    // round-2 shape collected raw Rows and decoded them in a single driver
-    // thread — a pure Amdahl serial fraction the full-span scaling pair
-    // exposed (VERDICT r02 next-step #2).
+  /** Compact the dictionary to flat arrays and broadcast it — the shared
+    * front end of [[detectFast]] and [[detectFastTs]].
+    *
+    * EXECUTOR-PARALLEL compaction: each partition decodes its rows into one
+    * flat DictRows (the expensive per-row work runs on executors, in
+    * parallel); the driver only arraycopies the partials together. The
+    * round-2 shape collected raw Rows and decoded them in a single driver
+    * thread — a pure Amdahl serial fraction the full-span scaling pair
+    * exposed (VERDICT r02 next-step #2).
+    */
+  private[graft] def compactDict(
+      dictionary: DataFrame): org.apache.spark.broadcast.Broadcast[DictRows] = {
+    val spark = dictionary.sparkSession
     val parts: Array[DictRows] = withBase(dictionary)
       .select(col("surface"), col("id"), col("kind"), col("is_prop"),
         col("weight").cast("double"), col("base"))
@@ -256,8 +260,46 @@ object Mentions {
       System.arraycopy(pr.bases, 0, rows.bases, off, m)
       off += m
     }
-    val bcRows = spark.sparkContext.broadcast(rows)
+    spark.sparkContext.broadcast(rows)
+  }
 
+  /** One turn's trie scan + dominance filter: (span_start, span_end,
+    * payload index) of the surviving matches.
+    */
+  private[graft] def scanText(t: SurfaceTrie, text: String,
+      maxN: Int): Iterator[(Int, Int, Int)] = {
+    val toks = text.split("\\s+")
+    // (start, end, payload)
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var i = 0
+    while (i < toks.length) {
+      var node = 0
+      var j = i
+      var continue = true
+      while (continue && j < toks.length && j - i < maxN) {
+        val nxt = t.kids(node).get(toks(j))
+        if (nxt == null) continue = false
+        else {
+          node = nxt.intValue()
+          j += 1
+          if (t.hit(node) >= 0) found += ((i, j, t.hit(node)))
+        }
+      }
+      i += 1
+    }
+    // dominance: survives iff no overlapping strictly-better match
+    found.iterator.filter { case (s, e, _) =>
+      !found.exists { case (s2, e2, _) =>
+        s2 < e && s < e2 &&
+          ((e2 - s2) > (e - s) || ((e2 - s2) == (e - s) && s2 < s))
+      }
+    }
+  }
+
+  def detectFast(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bcRows = compactDict(dictionary)
     turns.select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
@@ -265,32 +307,7 @@ object Mentions {
         val t = SurfaceTrie.of(bcRows.id, bcRows.value)
         val d = t.rows
         it.flatMap { case (conv, turn, text) =>
-          val toks = text.split("\\s+")
-          // (start, end, payload)
-          val found = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
-          var i = 0
-          while (i < toks.length) {
-            var node = 0
-            var j = i
-            var continue = true
-            while (continue && j < toks.length && j - i < maxN) {
-              val nxt = t.kids(node).get(toks(j))
-              if (nxt == null) continue = false
-              else {
-                node = nxt.intValue()
-                j += 1
-                if (t.hit(node) >= 0) found += ((i, j, t.hit(node)))
-              }
-            }
-            i += 1
-          }
-          // dominance: survives iff no overlapping strictly-better match
-          found.iterator.filter { case (s, e, _) =>
-            !found.exists { case (s2, e2, _) =>
-              s2 < e && s < e2 &&
-                ((e2 - s2) > (e - s) || ((e2 - s2) == (e - s) && s2 < s))
-            }
-          }.map { case (s, e, p) =>
+          scanText(t, text, maxN).map { case (s, e, p) =>
             (conv, turn, s, e, d.surfaces(p), d.ids(p), d.kinds(p), d.isProp(p),
               d.weights(p), d.bases(p))
           }
@@ -298,6 +315,33 @@ object Mentions {
       }
       .toDF("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
         "kind", "is_prop", "score", "base")
+  }
+
+  /** [[detectFast]] with the turn's event time (`ts`) carried through — the
+    * streaming path re-applies `withWatermark` on the OUTPUT's ts column
+    * (this typed scan strips attribute metadata, so an upstream watermark
+    * would not reach a downstream stateful operator) and gates its state
+    * flushes on it ([[graft.streaming.IncrementalKg.statefulTriplesStream]]).
+    */
+  def detectFastTs(turns: DataFrame, dictionary: DataFrame, maxN: Int = 4): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bcRows = compactDict(dictionary)
+    turns.select(col("conv_id"), col("turn_idx").cast("int"), col("text"),
+        col("ts"))
+      .as[(String, Int, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val t = SurfaceTrie.of(bcRows.id, bcRows.value)
+        val d = t.rows
+        it.flatMap { case (conv, turn, text, ts) =>
+          scanText(t, text, maxN).map { case (s, e, p) =>
+            (conv, turn, s, e, d.surfaces(p), d.ids(p), d.kinds(p), d.isProp(p),
+              d.weights(p), d.bases(p), ts)
+          }
+        }
+      }
+      .toDF("conv_id", "turn_idx", "span_start", "span_end", "surface", "id",
+        "kind", "is_prop", "score", "base", "ts")
   }
 
   /** Size-guarded detection: trie scan while the dictionary fits broadcast

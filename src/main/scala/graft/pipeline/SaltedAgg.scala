@@ -39,6 +39,12 @@ object SaltedAgg {
       case "min" => min(c)
       case "max" => max(c)
     }
+    // saltN == 1 degenerates to the plain single-phase aggregate — skip the
+    // salt column and phase-2 exchange entirely (the gated fast path)
+    if (saltN == 1)
+      return df.groupBy(key.map(col): _*)
+        .agg(m(measures.head.fn, col(measures.head.colName)).as(measures.head.as),
+          measures.tail.map(x => m(x.fn, col(x.colName)).as(x.as)): _*)
     val salted = df.withColumn("_salt",
       pmod(xxhash64(saltFrom.map(col): _*), lit(saltN.toLong)))
     val phase1 = salted
@@ -56,9 +62,28 @@ object SaltedAgg {
   /** Link-score aggregation: per linked id, mention count + summed score —
     * the head-QID-skewed shuffle of the pipeline. Salted from the mention's
     * position columns (stable content, uncorrelated with the hot id).
+    *
+    * The salt is GATED on an observed skew signal, mirroring the CC salt
+    * (`Canonicalize` — VERDICT r03 #3): when the caller supplies a
+    * mean-mentions-per-id hint (rows ÷ approx-distinct ids, both observed
+    * for free during the mentions stage write and read back from its
+    * manifest) and it sits under `skewMeanFreq`, the two-phase plan — whose
+    * second exchange is a real fixed cost at EVERY scale — degenerates to
+    * the plain one-exchange aggregate. No hint (standalone callers) keeps
+    * the conservative salted form; a forced `saltN` with a high hint keeps
+    * the skew protection. Gating is safe because both forms are exactly
+    * equivalent on any input (`salted_agg_equiv` oracle) — the hint only
+    * picks the physical shape.
     */
-  def linkScores(mentions: DataFrame, saltN: Int = 16): DataFrame =
+  def linkScores(mentions: DataFrame, saltN: Int = 16,
+      meanIdFreqHint: Option[Double] = None,
+      skewMeanFreq: Double = 64.0): DataFrame = {
+    val effSaltN = meanIdFreqHint match {
+      case Some(f) if f < skewMeanFreq => 1
+      case _ => saltN
+    }
     apply(mentions, Seq("id"),
       Seq(Measure("id", "count", "n_mentions"), Measure("score", "sum", "total_score")),
-      saltN, saltFrom = Seq("conv_id", "turn_idx", "span_start"))
+      effSaltN, saltFrom = Seq("conv_id", "turn_idx", "span_start"))
+  }
 }

@@ -132,4 +132,29 @@ object Triples {
       }
       .toDF("subj", "pred", "obj", "conv_id", "turn_idx", "score")
   }
+
+  /** [[extractFast]] in RELATIONAL grouping form — identical semantics
+    * (equivalence-tested), but the group key is the `conv_id` COLUMN rather
+    * than a typed lambda, so the walk's required distribution is
+    * `ClusteredDistribution(conv_id)` and Catalyst can satisfy it from the
+    * scan: over a conv-bucketed mentions table
+    * ([[graft.io.ManifestStore.runStageBucketed]]) the whole stage plans
+    * with ZERO Exchange (plan-asserted in PlanSpec) — the write-side bucket
+    * repartition already co-located every conversation. On unbucketed input
+    * it degrades gracefully to the same one-shuffle shape as extractFast.
+    */
+  def extractBucketed(mentions: DataFrame): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    mentions
+      .select(col("conv_id"), col("turn_idx").cast("int"),
+        col("span_start").cast("int"), col("span_end").cast("int"),
+        col("id"), col("is_prop"), col("score").cast("double"))
+      .as[MentionRow]
+      .groupBy(col("conv_id")).as[String, MentionRow]
+      .flatMapGroups { (conv: String, it: Iterator[MentionRow]) =>
+        walkTurns(conv, sortMentions(it.toArray), None)._1.iterator
+      }
+      .toDF("subj", "pred", "obj", "conv_id", "turn_idx", "score")
+  }
 }

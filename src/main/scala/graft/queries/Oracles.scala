@@ -507,7 +507,7 @@ object Oracles {
         |  FROM n JOIN cn0 c ON c.s2 > 0 QUALIFY rn = 1),
         |c1 AS (
         |  SELECT cid, list(sm ORDER BY i) AS s FROM (
-        |    SELECT a1.cid, t.i, CAST(sum(n.q[t.i]) AS BIGINT) AS sm
+        |    SELECT a1.cid, t.i, CAST(sum(n.q[t.i]) // count(*) AS BIGINT) AS sm
         |    FROM a1 JOIN n USING (vec_id), unnest(range(1, len(n.q)+1)) AS t(i)
         |    GROUP BY a1.cid, t.i)
         |  GROUP BY cid),
@@ -519,7 +519,7 @@ object Oracles {
         |  FROM n JOIN cn1 c ON c.s2 > 0 QUALIFY rn = 1),
         |c2 AS (
         |  SELECT cid, list(sm ORDER BY i) AS s FROM (
-        |    SELECT a2.cid, t.i, CAST(sum(n.q[t.i]) AS BIGINT) AS sm
+        |    SELECT a2.cid, t.i, CAST(sum(n.q[t.i]) // count(*) AS BIGINT) AS sm
         |    FROM a2 JOIN n USING (vec_id), unnest(range(1, len(n.q)+1)) AS t(i)
         |    GROUP BY a2.cid, t.i)
         |  GROUP BY cid),

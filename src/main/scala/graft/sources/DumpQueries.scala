@@ -56,13 +56,40 @@ object DumpQueries {
         coalesce(col("aliases"), lit("")).as("aliases"))
   }
 
-  /** The property-dump query (`Makefile download_properties`): label, usage
-    * count (one triple per use), "; "-joined aliases and inverse properties.
+  /** Bookkeeping predicates this module itself consumes — excluded from the
+    * property usage count, which should measure CLAIM usage (the reference's
+    * SPARQL restricts usage counting to `wikibase:directClaim` statements;
+    * counting rdfs:label / skos:altLabel rows would count the dictionary's
+    * own annotations as usages — ADVICE r03).
     */
-  def propertyDump(triples: DataFrame): DataFrame = {
-    val labels = triples.filter(col("p") === "rdfs:label")
+  val SchemaPredicates: Seq[String] = Seq("rdfs:label", "skos:altLabel",
+    "schema:description", "wikibase:sitelinks", "owl:sameAs", "wdt:P1696")
+
+  /** The property-dump query (`Makefile download_properties`): label, usage
+    * count (one claim triple per use; [[SchemaPredicates]] excluded),
+    * "; "-joined aliases and inverse properties.
+    *
+    * @param propertySubjects the reference query restricts property subjects
+    *                         via `?p wikibase:directClaim ?claim`; over a
+    *                         MIXED entity+property (s,p,o) table, pass the
+    *                         property-subject set here (e.g. subjects of
+    *                         `wikibase:directClaim` rows) or every
+    *                         rdfs:label'd entity becomes a property row
+    *                         (ADVICE r03). None ⇒ the input is declared a
+    *                         property-only triple set (the Makefile's
+    *                         per-kind download shape).
+    */
+  def propertyDump(triples: DataFrame,
+      propertySubjects: Option[DataFrame] = None): DataFrame = {
+    val labelsAll = triples.filter(col("p") === "rdfs:label")
       .select(col("s").as("pid"), col("o").as("label"))
-    val counts = triples.groupBy(col("p").as("pid"))
+    val labels = propertySubjects match {
+      case Some(ps) => labelsAll.join(
+        broadcast(ps.select(col(ps.columns.head).as("pid"))), Seq("pid"), "left_semi")
+      case None => labelsAll
+    }
+    val counts = triples.filter(!col("p").isInCollection(SchemaPredicates))
+      .groupBy(col("p").as("pid"))
       .agg(count(lit(1)).as("count"))
     labels
       .join(counts, Seq("pid"), "left")

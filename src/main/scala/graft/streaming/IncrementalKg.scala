@@ -9,6 +9,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 final case class ConvFocus(lastEnt: String, lastScore: Double)
 
+/** A buffered, not-yet-walked mention (wire shape of the out-of-order
+  * buffer): span + link plus the turn's event time in epoch millis.
+  */
+final case class PendingMention(turnIdx: Int, spanStart: Int, spanEnd: Int,
+    id: String, isProp: Boolean, score: Double, tsMillis: Long)
+
+/** Per-conversation streaming state: the reorder buffer of turns the
+  * watermark has not yet passed, plus the carried focus entity
+  * (`lastEnt` null until the first entity mention is walked).
+  */
+final case class ConvBuffer(pending: Seq[PendingMention], lastEnt: String,
+    lastScore: Double)
+
 /** Incremental KG append over a transcript STREAM.
   *
   * The reference is pure batch (SURVEY.md §2.7) and so is the north rule;
@@ -62,46 +75,100 @@ object IncrementalKg {
       .start()
   }
 
-  /** Cross-batch stateful triple extraction (VERDICT r02 next-step #8):
-    * unlike [[triplesStream]], conversations may SPLIT across micro-batches —
-    * the conversation-focus entity (the batch walker's carried state) lives
-    * in a `flatMapGroupsWithState` state store keyed by conv_id, so a
-    * property mention in batch N+1 resolves its subject from an entity
-    * mention seen in batch N, exactly as the batch pipeline would. Output is
-    * byte-identical to `Triples.extract` over the concatenated batches,
-    * PROVIDED turns arrive in conversation order across batches (the
-    * append-log contract: a turn is the atomic ingest unit and later turns
-    * land in later batches — the same assumption the batch window sort
-    * encodes as ORDER BY turn_idx).
+  /** Split the sorted reorder buffer at the first turn the watermark has NOT
+    * passed: only WHOLE turns flush (all mentions of a turn share its event
+    * time), and only as a prefix — a ripe turn behind an unripe one waits, so
+    * the walk order never diverges from turn order.
+    */
+  private[streaming] def splitRipe(pending: Seq[PendingMention],
+      watermarkMs: Long): (Seq[PendingMention], Seq[PendingMention]) = {
+    var i = 0
+    while (i < pending.length) {
+      val turn = pending(i).turnIdx
+      var j = i
+      var ripe = true
+      while (j < pending.length && pending(j).turnIdx == turn) {
+        if (pending(j).tsMillis >= watermarkMs) ripe = false
+        j += 1
+      }
+      if (!ripe) return pending.splitAt(i)
+      i = j
+    }
+    (pending, Nil)
+  }
+
+  /** Cross-batch stateful triple extraction (VERDICT r02 next-step #8),
+    * OUT-OF-ORDER TOLERANT (VERDICT r03 next-step #6): conversations may
+    * split across micro-batches AND turns may arrive out of turn order
+    * across batches. Mentions buffer in a per-conversation
+    * `flatMapGroupsWithState` state store keyed by conv_id; turns are walked
+    * (in turn_idx order, with the carried focus entity as seed) only once
+    * the event-time watermark passes their timestamp — so a turn arriving a
+    * batch late is sorted back into place before anything after it is
+    * walked. An event-time timeout flushes the tail when the watermark
+    * advances past it with no new rows for the conversation.
+    *
+    * Output matches `Triples.extract` over the concatenated batches whenever
+    * every turn arrives within the watermark delay of the latest turn seen —
+    * the standard watermark contract (turns later than that are walked at
+    * arrival position rather than dropped). The round-3 in-order append-log
+    * assumption is gone. Note the equally standard tail consequence: turns
+    * the final watermark never passes stay buffered in state (a live stream
+    * keeps flushing; a drained finite stream retains its last
+    * `watermarkDelay` of turns until more data arrives).
     *
     * Sink: the parquet file sink (exactly-once via its `_spark_metadata`
     * transaction log), not foreachBatch — state + sink both recover from the
     * checkpoint after a restart.
+    *
+    * Watermark source: the MENTION stream (the typed scan strips attribute
+    * metadata, so the watermark must attach to its output). Turns with no
+    * dictionary match therefore don't advance it — immaterial on a live
+    * corpus where some mention is always flowing, but a drained test stream
+    * must end with a mention-bearing turn.
     */
   def statefulTriplesStream(
       transcripts: DataFrame,
       dictionary: DataFrame,
       outPath: String,
       queryName: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      watermarkDelay: String = "10 seconds"): StreamingQuery = {
     val spark = transcripts.sparkSession
     import spark.implicits._
-    // stateless per-turn mention scan (broadcast trie) on the stream
-    val mentions = graft.pipeline.Mentions.detectFast(transcripts, dictionary)
+    // stateless per-turn mention scan (broadcast trie) on the stream; the
+    // watermark attaches to the scan's OUTPUT ts (the typed scan strips
+    // attribute metadata, so a transcript-level watermark would not reach
+    // the stateful operator below)
+    val mentions = graft.pipeline.Mentions.detectFastTs(transcripts, dictionary)
+      .withWatermark("ts", watermarkDelay)
     val typed = mentions.select(col("conv_id"), col("turn_idx").cast("int"),
         col("span_start").cast("int"), col("span_end").cast("int"),
-        col("id"), col("is_prop"), col("score").cast("double"))
-      .as[graft.pipeline.Triples.MentionRow]
+        col("id"), col("is_prop"), col("score").cast("double"), col("ts"))
+      .as[(String, Int, Int, Int, String, Boolean, Double, java.sql.Timestamp)]
     val triples = typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (conv: String, it: Iterator[graft.pipeline.Triples.MentionRow],
-            state: GroupState[ConvFocus]) => {
-          val ms = graft.pipeline.Triples.sortMentions(it.toArray)
-          val seed = state.getOption.map(s => (s.lastEnt, s.lastScore))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (conv: String,
+            it: Iterator[(String, Int, Int, Int, String, Boolean, Double, java.sql.Timestamp)],
+            state: GroupState[ConvBuffer]) => {
+          val prior = state.getOption.getOrElse(ConvBuffer(Nil, null, 0.0))
+          val incoming = it.map(r =>
+            PendingMention(r._2, r._3, r._4, r._5, r._6, r._7, r._8.getTime)).toSeq
+          val pending = (prior.pending ++ incoming)
+            .sortBy(m => (m.turnIdx, m.spanStart, m.spanEnd, m.id))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, rest) = splitRipe(pending, wm)
+          val ms: Array[graft.pipeline.Triples.MentionRow] = ripe.map(m =>
+            (conv, m.turnIdx, m.spanStart, m.spanEnd, m.id, m.isProp, m.score)).toArray
+          val seed =
+            if (prior.lastEnt != null) Some((prior.lastEnt, prior.lastScore)) else None
           val (out, lastEnt, lastScore) =
             graft.pipeline.Triples.walkTurns(conv, ms, seed)
-          if (lastEnt != null) state.update(ConvFocus(lastEnt, lastScore))
+          state.update(ConvBuffer(rest, lastEnt, lastScore))
+          // wake this group when the watermark passes its buffered tail
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(math.max(rest.map(_.tsMillis).max, wm) + 1)
           out.iterator
         })
       .toDF("subj", "pred", "obj", "conv_id", "turn_idx", "score")

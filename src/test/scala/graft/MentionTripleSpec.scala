@@ -97,6 +97,35 @@ class MentionTripleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("link-score salt gates on the mean-frequency hint (plan-asserted)") {
+    import spark.implicits._
+    val rows = (1 to 2000).map { i =>
+      val id = if (i % 3 == 0) "HEAD" else s"Q${i % 50}"
+      (id, i.toDouble / 10, s"c${i % 97}", i % 20, i % 7)
+    }
+    val df = rows.toDF("id", "score", "conv_id", "turn_idx", "span_start")
+    def exchanges(out: org.apache.spark.sql.DataFrame): Int = {
+      out.collect() // AQE finalizes the plan on execution
+      // count the FINAL adaptive plan only (the rendering repeats every
+      // Exchange in its "Initial Plan" section)
+      out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+        .split("\n").count(_.contains("Exchange hashpartitioning"))
+    }
+    // non-skewed hint → the salt degenerates: exactly ONE aggregation exchange
+    val gated = SaltedAgg.linkScores(df, saltN = 8, meanIdFreqHint = Some(4.0))
+    assert(exchanges(gated) == 1, "gated-off salt must be single-phase")
+    // skewed hint (or none) → the two-phase salted shape engages
+    val engaged = SaltedAgg.linkScores(df, saltN = 8, meanIdFreqHint = Some(500.0))
+    assert(exchanges(engaged) == 2, "skew hint must engage the two-phase salt")
+    assert(exchanges(SaltedAgg.linkScores(df, saltN = 8)) == 2,
+      "no hint stays conservatively salted")
+    // both physical shapes, same result
+    def res(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1000))).toSet
+    assert(res(gated) == res(engaged))
+  }
+
   test("detectFast (broadcast trie scan) == detect (Catalyst) on synth corpus") {
     val spark2 = spark
     val ents = graft.synth.Synth.entityDump(spark2, 300)

@@ -140,6 +140,28 @@ class OpsSpec extends AnyFunSuite {
     assert(maxCands < 599, "IVF must not degenerate into all-pairs")
   }
 
+  test("IVF: planted giant bucket — mean centroids keep s2 in Long range") {
+    import spark.implicits._
+    // 800 identical vectors with coordinate 2000.0 (q = 2e6 at the default
+    // quantScale): the round-3 SUM centroid would carry per-dimension sums
+    // of 800·2e6 = 1.6e9 and s2 = 4·(1.6e9)² ≈ 1.02e19 — past Long.MaxValue
+    // (9.22e18), flipping s2 negative (VERDICT r03 #3). The truncated-mean
+    // centroid keeps each component at 2e6 and s2 = 4·(2e6)² = 1.6e13.
+    val big = (0L until 800L).map(i => (i, Array.fill(4)(2000.0f)))
+    val small = (1000L until 1008L).map(i =>
+      (i, Array(-1.0f, 2.0f, (i % 3).toFloat, 1.0f)))
+    val giant = (big ++ small).toDF("vec_id", "embedding")
+    val rank1 = Similarity.ivfTopK(giant, "vec_id", "embedding", k = 1, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every giant-bucket member's exact top-1 is its lowest-id twin
+    // (cosine exactly 1.0, ties by neighbor id) — wrong or dropped centroids
+    // would lose the bucket and these neighbors with it
+    (0L until 800L).foreach { i =>
+      val want = if (i == 0L) 1L else 0L
+      assert(rank1.get(i).contains(want), s"vec $i: ${rank1.get(i)} != $want")
+    }
+  }
+
   test("embedding near-dups via sign-LSH: precision exact (integer verify)") {
     val got = Similarity.embeddingNearDups(vecs, "vec_id", "embedding",
         thresholdPct = 95, nPlanes = 4)
@@ -204,6 +226,39 @@ class OpsSpec extends AnyFunSuite {
     val sh = Dedup.simhashNearDups(df, "doc_id", "text")
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sh == Set((5000L, 5001L)), s"simhash capped default: $sh")
+  }
+
+  test("tracked near-dup entry points evaluate the signature plan once") {
+    import spark.implicits._
+    val df = corpus
+    // minhash: tracked == plain capped operator, and the returned plan's
+    // leaves are ALL InMemoryRelations — no path in it can re-run the
+    // tokenize→sign→band computation (it ran once, in the measurement action
+    // that filled the caches)
+    val (mh, mhCaches) = Dedup.minhashNearDupsTracked(df, "doc_id", "text",
+      thresholdPct = 70, maxDfFraction = 1.0, corpusRowsHint = Some(38L))
+    val want = Dedup.minhashLshPairs(df, "doc_id", "text", thresholdPct = 70,
+        maxDf = 38L, maxBucket = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == want)
+    val mhLeaves = mh.queryExecution.optimizedPlan.collectLeaves()
+    assert(mhLeaves.nonEmpty && mhLeaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"every leaf must read the cache:\n${mh.queryExecution.optimizedPlan}")
+    assert(mhCaches.size == 2 && mhCaches.forall(_.storageLevel.useMemory))
+    mhCaches.foreach(_.unpersist(blocking = true))
+    assert(mhCaches.forall(!_.storageLevel.useMemory))
+
+    // simhash twin
+    val (sh, shCaches) = Dedup.simhashNearDupsTracked(df, "doc_id", "text")
+    val wantSh = Dedup.simhashPairs(df, "doc_id", "text", maxBucket = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == wantSh)
+    val shLeaves = sh.queryExecution.optimizedPlan.collectLeaves()
+    assert(shLeaves.nonEmpty && shLeaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"every leaf must read the cache:\n${sh.queryExecution.optimizedPlan}")
+    shCaches.foreach(_.unpersist(blocking = true))
   }
 
   test("countOverfullBuckets measures exactly what the cap drops") {

@@ -143,6 +143,49 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(mism == 0)
   }
 
+  test("stage writes bound file sizes and record the policy + skew hint") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-filesize").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    // 5000 rows forced into ONE task: without the bound this writes one
+    // 5000-row file (the low-parallelism giant-file shape)
+    val df = (0 until 5000).map(i => (s"id${i % 7}", i.toLong))
+      .toDF("id", "v").repartition(1)
+    store.runStage("sized", "fp1", Nil, distinctOf = Some("id"),
+      maxRecordsPerFile = 1000L)(df)
+    val perFile = spark.read.parquet(s"$out/sized/data")
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.length >= 5, s"expected >=5 files, got ${perFile.length}")
+    assert(perFile.max <= 1000L, s"file exceeds the record bound: ${perFile.max}")
+    assert(perFile.sum == 5000L)
+    // manifest records the policy and the observed approx-distinct hint
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(out, "sized", "_MANIFEST.json")))
+    assert(manifest.contains("\"maxRecordsPerFile\":1000"))
+    assert(store.distinctCountOf("sized").exists(d => d >= 6 && d <= 8),
+      s"approx distinct of 7 ids: ${store.distinctCountOf("sized")}")
+    assert(store.rowCountOf("sized").contains(5000L))
+  }
+
+  test("bucketed-mentions pipeline == default pipeline (full run equivalence)") {
+    val entities = Synth.entityDump(spark, nEnts)
+    val properties = Synth.propertyDump(spark, mProps)
+    val redirects = Synth.redirects(spark, nEnts)
+    val transcripts = Synth.transcripts(spark, convs, turnsPerConv, nEnts, mProps)
+    def runWith(buckets: Int): Set[String] = {
+      val outDir = Files.createTempDirectory(s"graft-bkt$buckets").toString
+      val res = KgPipeline.run(spark, transcripts, entities, properties,
+        redirects, outDir, mentionBuckets = buckets)
+      (res.triples.selectExpr("subj", "pred", "obj", "conv_id", "turn_idx",
+          "round(score,6) AS s").collect().map(_.toString) ++
+        res.edges.selectExpr("src", "pid", "dst", "weight").collect().map(_.toString) ++
+        res.linkScores.selectExpr("id", "n_mentions", "round(total_score,6)")
+          .collect().map(_.toString))
+        .toSet
+    }
+    assert(runWith(4) == runWith(0))
+  }
+
   test("resume: second run reads every stage from manifests; outputs identical") {
     val entities = Synth.entityDump(spark, nEnts)
     val properties = Synth.propertyDump(spark, mProps)

@@ -73,6 +73,51 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"dominance must be an anti-join:\n$plan")
   }
 
+  test("bucketed mentions: triples walk + coref groupBy plan with ZERO exchange") {
+    import spark.implicits._
+    // synthetic mentions across 3 conversations, entity + property rows
+    val mentions = (0 until 300).map { i =>
+      val conv = s"c${i % 3}"
+      (conv, i / 10, i % 5, i % 5 + 1, if (i % 4 == 0) s"P${i % 7}" else s"Q${i % 11}",
+        i % 4 == 0, 1.0 + i % 3, s"base${i % 11}")
+    }.toDF("conv_id", "turn_idx", "span_start", "span_end", "id", "is_prop",
+      "score", "base")
+    val out = java.nio.file.Files.createTempDirectory("plan-bucketed").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    val (bucketed, resumed0) = store.runStageBucketed("mentions", "fp-b1",
+      graft.pipeline.KgPipeline.MentionBucketCols,
+      graft.pipeline.KgPipeline.MentionSortCols, nBuckets = 4)(mentions)
+    assert(!resumed0)
+
+    // 1) the conv-grouped triples walk: required distribution satisfied by
+    //    the bucketed scan → no Exchange anywhere in the final plan
+    val walked = graft.pipeline.Triples.extractBucketed(bucketed)
+    val walkPlan = executedPlan(walked).split("== Initial Plan ==")(0)
+    assert(!walkPlan.contains("Exchange"),
+      s"bucket-aligned walk must not shuffle:\n$walkPlan")
+    // and it matches the one-shuffle walk on the same rows
+    def c(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("subj", "pred", "obj", "conv_id", "turn_idx", "round(score,6) AS s")
+      .collect().map(_.toString).sorted.toSeq
+    assert(c(walked) == c(graft.pipeline.Triples.extractFast(mentions)))
+    assert(walked.count() > 0)
+
+    // 2) the co-reference groupBy (conv_id, base): clustering on a superset
+    //    of the bucket key → aggregation is exchange-free too
+    val coref = bucketed.filter(!org.apache.spark.sql.functions.col("is_prop"))
+      .groupBy("conv_id", "base")
+      .agg(org.apache.spark.sql.functions.collect_set("id").as("ids"))
+    val corefPlan = executedPlan(coref).split("== Initial Plan ==")(0)
+    assert(!corefPlan.contains("Exchange"),
+      s"conv-clustered agg over bucketed scan must not shuffle:\n$corefPlan")
+
+    // 3) resume re-registers and reads the same bucketed table
+    val (again, resumed1) = store.runStageBucketed("mentions", "fp-b1",
+      graft.pipeline.KgPipeline.MentionBucketCols,
+      graft.pipeline.KgPipeline.MentionSortCols, nBuckets = 4)(fail("must resume"))
+    assert(resumed1 && again.count() == 300)
+  }
+
   test("entity cascade under AQE: no forced join strategy, small sides broadcast") {
     val ents = graft.synth.Synth.entityDump(spark, 1000)
     val plan = executedPlan(graft.index.EntityIndexBuilder.build(ents))

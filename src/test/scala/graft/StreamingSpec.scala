@@ -47,7 +47,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("stateful stream: conversation split across batches == batch pipeline") {
+  test("stateful stream: split convs + LATE turn across batches == batch pipeline") {
     import spark.implicits._
     val dict = Seq(
       ("paris", "Q90", false, 50L),
@@ -58,51 +58,77 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("surface", "id", "is_prop", "weight")
       .withColumn("kind", lit(0))
 
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
     // property-LEADING later turns: their subject is an entity mentioned
-    // only in earlier turns, so a per-batch extractor would drop them
-    val transcripts = Seq(
-      ("c1", 0, "we saw paris today"), ("c1", 1, "a lovely city"),
-      ("c1", 3, "borders berlin we heard"), ("c1", 4, "contains tokyo tower"),
-      ("c2", 0, "berlin was rainy"), ("c2", 3, "borders paris maybe"),
-      ("c3", 0, "tokyo borders paris"), ("c3", 1, "paris contains berlin"))
-      .toDF("conv_id", "turn_idx", "text")
+    // only in earlier turns; c1 turn 2 will arrive a batch LATE and must be
+    // reordered back between turns 1 and 3 (it flips turn 3's subject from
+    // Q90 to Q64)
+    val corpus = Seq(
+      ("c1", 0, "we saw paris today", ts(0)), ("c1", 1, "a lovely city", ts(10)),
+      ("c1", 2, "berlin appeared today", ts(20)),
+      ("c1", 3, "borders berlin we heard", ts(30)),
+      ("c1", 4, "contains tokyo tower", ts(40)),
+      ("c2", 0, "berlin was rainy", ts(0)), ("c2", 3, "borders paris maybe", ts(30)),
+      ("c3", 0, "tokyo borders paris", ts(0)), ("c3", 1, "paris contains berlin", ts(10)))
+      .toDF("conv_id", "turn_idx", "text", "ts")
+    // sentinel turns exist only to advance the watermark past the real
+    // corpus so its buffered tail flushes before the stream drains; they
+    // must contain SOME dictionary surface (the watermark tracks the
+    // mention stream), but an entity-only turn emits no triples
+    val sentinels = Seq(
+      ("zz", 0, "paris", ts(3600)),
+      ("zz", 1, "paris", ts(7200)))
+      .toDF("conv_id", "turn_idx", "text", "ts")
+
     val srcDir = Files.createTempDirectory("sstream-src").toString
-    // two FILES = two micro-batches (maxFilesPerTrigger=1): every
-    // conversation's turns 0-2 land in batch 0, turns 3+ in batch 1 —
-    // the split the per-batch extractor cannot handle and the stateful one
-    // must (focus entity from batch 0 seeds batch 1's subjects)
-    transcripts.filter(col("turn_idx") < 3).coalesce(1)
-      .write.mode("append").parquet(srcDir)
-    Thread.sleep(1200) // distinct mtimes → deterministic file order
-    transcripts.filter(col("turn_idx") >= 3).coalesce(1)
-      .write.mode("append").parquet(srcDir)
+    // five FILES = five micro-batches (maxFilesPerTrigger=1): turns 0-1 of
+    // every conversation, then turns >= 3, then the LATE turn 2 of c1
+    // (event time BELOW data already delivered), then the two watermark
+    // sentinels. The late turn arrives while its successors are still
+    // watermark-buffered, so the reorder buffer walks it back into place.
+    def writeFile(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1200) // distinct mtimes → deterministic file order
+    }
+    writeFile(corpus.filter(col("turn_idx") < 2))
+    writeFile(corpus.filter(col("turn_idx") >= 3))
+    writeFile(corpus.filter(col("conv_id") === "c1" && col("turn_idx") === 2))
+    writeFile(sentinels.filter(col("turn_idx") === 0))
+    writeFile(sentinels.filter(col("turn_idx") === 1))
 
     val stream = spark.readStream
-      .schema(transcripts.schema)
+      .schema(corpus.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val outDir = Files.createTempDirectory("sstream-out").toString
     val ckDir = Files.createTempDirectory("sstream-ck").toString
-    val q = IncrementalKg.statefulTriplesStream(stream, dict, outDir, "kgsstream", ckDir)
+    val q = IncrementalKg.statefulTriplesStream(stream, dict, outDir, "kgsstream",
+      ckDir, watermarkDelay = "1 second")
     q.awaitTermination(180000)
     assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
-    // it really ran as >= 2 micro-batches
-    assert(q.recentProgress.map(_.batchId).max >= 1,
-      s"expected >=2 batches, got ${q.recentProgress.map(_.batchId).toSeq}")
+    // it really ran as >= 5 micro-batches
+    assert(q.recentProgress.map(_.batchId).max >= 4,
+      s"expected >=5 batches, got ${q.recentProgress.map(_.batchId).toSeq}")
 
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .selectExpr("subj", "pred", "obj", "conv_id", "turn_idx", "round(score, 6) AS s")
       .collect().map(_.toString).toSet
     val got = canon(spark.read.parquet(outDir))
     val want = canon(graft.pipeline.Triples.extract(
-      graft.pipeline.Mentions.detectFast(transcripts, dict)))
+      graft.pipeline.Mentions.detectFast(corpus, dict)))
     assert(got == want,
       s"only-stream=${(got -- want).take(5)} only-batch=${(want -- got).take(5)}")
     assert(got.nonEmpty)
+    // the LATE turn did real work: turn 3's subject is Q64 (berlin, from the
+    // late-arriving turn 2) — an in-arrival-order walk would emit Q90
+    assert(got.exists(_.startsWith("[Q64,P47,Q64,c1,3")),
+      s"late turn must flip c1 turn 3's subject to Q64: $got")
     // the cross-batch seeding did real work: some turn>=3 triple's subject
-    // is an entity mentioned only in turns 0-2 (would be MISSING per-batch)
+    // is an entity mentioned only in earlier turns (would be MISSING
+    // per-batch)
     val perBatch = canon {
-      val m = graft.pipeline.Mentions.detectFast(transcripts, dict)
+      val m = graft.pipeline.Mentions.detectFast(corpus, dict)
       graft.pipeline.Triples.extract(m.filter(col("turn_idx") < 3))
         .unionByName(graft.pipeline.Triples.extract(m.filter(col("turn_idx") >= 3)))
     }

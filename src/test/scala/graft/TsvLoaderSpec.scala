@@ -77,6 +77,23 @@ class TsvLoaderSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getString(4))))
       .toMap
     assert(props("P5") == (("rel", 2L, "P6")))
+    // mixed entity+property table (ADVICE r03): unfiltered, every labeled
+    // subject renders as a property row — the documented property-only-input
+    // contract; the subject filter restores the reference's
+    // `wikibase:directClaim`-restricted shape
+    assert(props.keySet == Set("Q1", "Q2", "P5"))
+    import spark.implicits._
+    val onlyProps = DumpQueries.propertyDump(t, Some(Seq("P5").toDF("pid")))
+      .collect().map(_.getString(0)).toSet
+    assert(onlyProps == Set("P5"))
+    // bookkeeping predicates don't count as usages: a self-described
+    // rdfs:label subject must show usage 0, not the corpus's label count
+    val selfDesc = t.union(Seq(("rdfs:label", "rdfs:label", "label")).toDF("s", "p", "o"))
+    val props2 = DumpQueries.propertyDump(selfDesc).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(props2("rdfs:label") == 0L,
+      s"schema predicates must not count as usages: ${props2("rdfs:label")}")
+    assert(props2("P5") == 2L)
     val reds = DumpQueries.redirectDump(t).collect()
       .map(r => (r.getString(0), r.getString(1)))
     assert(reds.toSeq == Seq(("Q1", "R8; R9")))
