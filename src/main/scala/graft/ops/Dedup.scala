@@ -193,6 +193,29 @@ object Dedup {
       .select("a", "b", "inter", "uni")
   }
 
+  /** Near-duplicate CLUSTERS — the corpus-dedup shape production pipelines
+    * actually run (pairs alone under-delete: near-dup similarity is not
+    * transitive, so A~B and B~C must collapse into ONE surviving document
+    * even when A~C misses the threshold): MinHash-LSH pairs → connected
+    * components (the same large/small-star fixpoint the KG canonicalizer
+    * uses, [[graft.pipeline.Canonicalize.connectedComponents]]) → one
+    * representative (the minimum id) per cluster.
+    *
+    * @return (doc_id, rep_id) for every document in some cluster; documents
+    *         with no near-dup are absent (their representative is
+    *         themselves). Dedup = anti-join the corpus against
+    *         `doc_id =!= rep_id` rows.
+    */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
+      maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands,
+      thresholdPct, maxDf, maxBucket)
+    graft.pipeline.Canonicalize.connectedComponents(
+      pairs.select(col("a").as("u"), col("b").as("v")))
+      .select(col("node").as("doc_id"), col("canonical_id").as("rep_id"))
+  }
+
   private val SimhashBits = 48
 
   /** SimHash bit vector (standard construction with one derived hash per

@@ -40,6 +40,16 @@ object OpsQueries {
       "doc_id", "text", numHashes = 32, bands = 8, thresholdPct = 80,
       maxDf = 50L, maxBucket = 5L)
 
+  /** Near-dup clusters over the same sample as [[dedupMinhashLsh]]: pairs →
+    * connected components → (doc_id, rep_id). The oracle closes the same
+    * pair set with a recursive CTE, so the composition (LSH × union-find)
+    * is driver-verified end to end.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashClusters(
+      tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),
+      "doc_id", "text", numHashes = 32, bands = 8, thresholdPct = 80)
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(
       tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),

@@ -228,6 +228,27 @@ class OpsSpec extends AnyFunSuite {
     assert(sh == Set((5000L, 5001L)), s"simhash capped default: $sh")
   }
 
+  test("minhash clusters close transitive near-dup chains (pairs alone don't)") {
+    import spark.implicits._
+    // A~B and B~C at ~0.82 jaccard, but A~C at 0.67 — BELOW the 80%
+    // threshold: the pair operator must NOT link A-C, the cluster operator
+    // must still collapse all three into one group (non-transitivity is
+    // exactly why production dedup runs components over pairs)
+    val base = (1 to 20).map(i => s"tok$i")
+    val a = base.mkString(" ")
+    val b = (base.drop(2) ++ Seq("bx1", "bx2")).mkString(" ")
+    val c = (base.drop(2).dropRight(2) ++ Seq("bx1", "bx2", "cx1", "cx2")).mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c),
+      (50L, "totally different words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 32, 8, 80)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), s"chain pairs: $pairs")
+    val clusters = Dedup.minhashClusters(df, "doc_id", "text", 32, 8, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"one cluster with min-id representative: $clusters")
+  }
+
   test("tracked near-dup entry points evaluate the signature plan once") {
     import spark.implicits._
     val df = corpus
