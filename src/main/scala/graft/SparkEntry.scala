@@ -54,6 +54,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> (O.dedupMinhashLsh _),
       "dedup_minhash_capped" -> (O.dedupMinhashCapped _),
       "dedup_clusters" -> (O.dedupClusters _),
+      "curate_corpus" -> (O.curateCorpus _),
       "dedup_simhash" -> (O.dedupSimhash _),
       "text_quality" -> (O.textQuality _),
       "lang_id" -> (O.langId _),

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation — the end-to-end shape a training-data pipeline runs
+  * before a corpus ships: quality gate → near-duplicate CLUSTER dedup (keep
+  * one representative per component) → deterministic train/val/test split.
+  * Composes [[TextAnalysis.quality]], [[Dedup.minhashClusters]] and a
+  * content-hash split; everything stays integer-exact, so the whole
+  * composition carries one DuckDB oracle (`curate_corpus`).
+  *
+  * Scale shape: the quality gate is per-row (no shuffle), the cluster pass
+  * is the bucketed LSH + large/small-star fixpoint (never all-pairs), and
+  * the split is a per-row hash — nothing here collects to the driver.
+  */
+object Curate {
+
+  /** Deterministic split assignment from a content hash of the id — NEVER
+    * `rand()`: the split must be stable under recompute, reruns, and
+    * engine changes, and a document must land in the same split when the
+    * corpus is re-curated with new data around it (the property that keeps
+    * eval sets uncontaminated across corpus versions). Thresholds are
+    * basis points of 10000 (e.g. 9000/500 → 90% train, 5% val, 5% test).
+    */
+  def splitCol(id: Column, trainBp: Int, valBp: Int): Column = {
+    val h = pmod(
+      TextAnalysis.fingerprint(id.cast("string")) * 1000003L + 12345L,
+      lit(10000L))
+    when(h < trainBp, "train")
+      .when(h < trainBp + valBp, "val")
+      .otherwise("test")
+  }
+
+  def assignSplits(df: DataFrame, idCol: String,
+      trainBp: Int = 9000, valBp: Int = 500): DataFrame =
+    df.withColumn("split", splitCol(col(idCol), trainBp, valBp))
+
+  /** Quality gate → cluster dedup (drop every clustered doc except its
+    * min-id representative) → split assignment.
+    * @return (idCol, quality_milli, split) for every SURVIVING document
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minQualityMilli: Int = 500,
+      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 80,
+      maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue,
+      trainBp: Int = 9000, valBp: Int = 500): DataFrame = {
+    val scored = TextAnalysis.quality(df, idCol, textCol)
+      .select(col(idCol), col("quality_milli"))
+      .filter(col("quality_milli") >= minQualityMilli)
+    // dedup runs AFTER the gate: a low-quality doc must not be the
+    // representative that evicts a high-quality near-duplicate
+    val kept = df.join(scored.select(col(idCol)), Seq(idCol), "left_semi")
+    val dupes = Dedup.minhashClusters(kept, idCol, textCol, numHashes, bands,
+        thresholdPct, maxDf, maxBucket)
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as(idCol))
+    scored.join(dupes, Seq(idCol), "left_anti")
+      .withColumn("split", splitCol(col(idCol), trainBp, valBp))
+  }
+}

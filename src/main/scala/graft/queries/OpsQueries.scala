@@ -50,6 +50,14 @@ object OpsQueries {
       tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),
       "doc_id", "text", numHashes = 32, bands = 8, thresholdPct = 80)
 
+  /** Full curation composition on the same sample: quality gate (≥900
+    * drops stopword-free docs) → cluster dedup → deterministic split.
+    */
+  def curateCorpus(s: SparkSession, d: String): DataFrame =
+    graft.ops.Curate.curate(
+      tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),
+      "doc_id", "text", minQualityMilli = 900, thresholdPct = 80)
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(
       tbl(s, d, "documents").filter(pmod(col("doc_id"), lit(20)) === 0),

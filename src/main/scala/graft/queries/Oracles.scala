@@ -432,6 +432,72 @@ object Oracles {
         |  SELECT r.x, e.v FROM reach r JOIN e ON r.y = e.u)
         |SELECT x AS doc_id, min(y) AS rep_id FROM reach GROUP BY x""".stripMargin,
 
+    // the full curation composition: quality gate (>= 900 keeps only docs
+    // with a stopword hit) -> minhash pairs over the SURVIVORS -> recursive
+    // component closure -> drop non-representatives -> content-hash split
+    "curate_corpus" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 400 // length(text)
+        |      + (length(text) - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))) * 300 // length(text)
+        |      + CASE WHEN len(list_filter(string_split(text, ' '),
+        |          t -> list_contains(['the','a','and','of','to','in','is','it'], t))) > 0
+        |        THEN 300 ELSE 0 END
+        |    END AS quality_milli
+        |  FROM docs),
+        |kept AS (SELECT doc_id, text, quality_milli FROM q WHERE quality_milli >= 900),
+        |toks AS (
+        |  SELECT doc_id AS id,
+        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM kept),
+        |nz AS (SELECT id, toks FROM toks WHERE len(toks) > 0),
+        |hs AS (
+        |  SELECT id, toks, list_transform(toks, t ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+        |  FROM nz),
+        |sigs AS (
+        |  SELECT id, list_transform(range(0, 32), i ->
+        |    list_min(list_transform(hs, h ->
+        |      (h * ((i*1103515245+12345) % 2147483646 + 1)
+        |       + (i*134775813+1) % 2147483647) % 2147483647))) AS sig
+        |  FROM hs),
+        |banded AS (
+        |  SELECT id, b AS band,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
+        |           (acc, x) -> (acc*1000003 + x) % 1000000007) AS bhash
+        |  FROM sigs, unnest(range(0, 8)) AS t(b)),
+        |cands AS (
+        |  SELECT DISTINCT x.id AS a, y.id AS b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id),
+        |pairs AS (
+        |  SELECT c.a, c.b
+        |  FROM cands c JOIN nz ta ON c.a = ta.id JOIN nz tb ON c.b = tb.id
+        |  WHERE len(list_intersect(ta.toks, tb.toks)) * 100
+        |        >= 80 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))),
+        |e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e),
+        |reach(x, y) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.x, e.v FROM reach r JOIN e ON r.y = e.u),
+        |clus AS (SELECT x AS doc_id, min(y) AS rep_id FROM reach GROUP BY x),
+        |dupes AS (SELECT doc_id FROM clus WHERE doc_id <> rep_id)
+        |SELECT k.doc_id, k.quality_milli,
+        |  CASE WHEN k.h < 9000 THEN 'train' WHEN k.h < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, quality_milli,
+        |        (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+        |             c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) * 1000003 + 12345) % 10000 AS h
+        |      FROM kept) k
+        |WHERE k.doc_id NOT IN (SELECT doc_id FROM dupes)""".stripMargin,
+
     // the capped shape: df cap (HAVING count <= 50 on token document
     // frequency) before signing AND verification, bucket cap (HAVING count
     // <= 5 per (band, bhash)) before the candidate self-join — both exact SQL

@@ -249,6 +249,30 @@ class OpsSpec extends AnyFunSuite {
       s"one cluster with min-id representative: $clusters")
   }
 
+  test("curate: quality gates BEFORE dedup; only non-representatives evicted") {
+    import spark.implicits._
+    val base = ('a' to 't').map(c => s"word$c")
+    val hqA = "the " + base.mkString(" ") // stopword → quality ≥ 900
+    val hqB = "the " + (base.drop(2) ++ Seq("x1", "x2")).mkString(" ") // ~83% of A
+    val lowDup = base.mkString(" ") // 95% of A but NO stopword → fails the gate
+    val df = Seq((10L, hqA), (2L, hqB), (3L, lowDup),
+      (7L, "the unrelated totally different things entirely"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Curate.curate(df, "doc_id", "text",
+        minQualityMilli = 900, thresholdPct = 80)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    // doc 3 fails the gate, so despite being doc 10's nearest duplicate AND
+    // the would-be min-id representative, it cannot evict anything (dedup
+    // runs on gate survivors only); {10, 2} cluster → min id 2 survives
+    assert(out.keySet == Set(2L, 7L), s"survivors: $out")
+    assert(out.values.forall(v => Set("train", "val", "test")(v._2)))
+    // the split is a content hash — identical on recompute
+    val again = graft.ops.Curate.curate(df, "doc_id", "text",
+        minQualityMilli = 900, thresholdPct = 80)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(out == again)
+  }
+
   test("tracked near-dup entry points evaluate the signature plan once") {
     import spark.implicits._
     val df = corpus
