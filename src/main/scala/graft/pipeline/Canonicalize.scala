@@ -78,6 +78,48 @@ object Canonicalize {
       .distinct()
   }
 
+  /** Driver union-find with path compression over a SMALL collected edge
+    * list — the fast path for graphs under `driverMaxEdges`: the
+    * distributed fixpoint costs O(log n) driver barriers of 3–5 jobs each,
+    * a fixed serial price that dwarfs the work itself on small graphs
+    * (typical after `distinct()` when co-reference is sparse). Identical
+    * output contract: component minimum as the canonical id.
+    */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      nodeType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { e =>
+      val (ra, rb) = (find(e.get(0)), find(e.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    val nodes = rows.iterator.flatMap(e => Iterator(e.get(0), e.get(1))).toSet
+    nodes.foreach { n =>
+      val r = find(n)
+      if (!minOf.contains(r) || lt(n, minOf(r))) minOf(r) = n
+    }
+    val schema = StructType(Seq(StructField("node", nodeType),
+      StructField("canonical_id", nodeType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        nodes.toSeq.map(n => Row(n, minOf(find(n)))),
+        math.max(1, spark.sparkContext.defaultParallelism / 4)),
+      schema)
+  }
+
   /** Run to fixpoint; returns the canonical mapping (node, canonical_id)
     * covering every node that appears in `edges` (singletons absent — callers
     * coalesce missing nodes to themselves).
@@ -93,11 +135,28 @@ object Canonicalize {
     *                      enables the salt (a single reducer/join task
     *                      absorbing millions of rows for one key is where
     *                      the two-phase reduction starts paying for itself)
+    * @param driverMaxEdges size guard for the driver union-find fast path
+    *                      (the `detectAuto` pattern): a bounded
+    *                      `limit(N+1).collect()` probes the deduped edge
+    *                      set — under the bound, one job replaces the whole
+    *                      fixpoint; over it, the probe cost is capped at N
+    *                      rows and the distributed fixpoint runs as before.
+    *                      0 disables the fast path (tests of the
+    *                      distributed machinery force this).
     */
   def connectedComponents(edges0: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None, skewSaltN: Int = 0,
-      autoSaltMaxDegree: Long = 1000000L): DataFrame = {
+      autoSaltMaxDegree: Long = 1000000L,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = edges0.sparkSession
+    if (driverMaxEdges > 0) {
+      val dedup = edges0.select(col("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
+      val rows = dedup.limit(cap).collect()
+      if (rows.length <= driverMaxEdges)
+        return driverComponents(spark, rows, dedup.schema("u").dataType)
+    }
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         spark.sparkContext.setCheckpointDir(dir)

@@ -27,9 +27,13 @@ class CanonicalizeSpec extends AnyFunSuite {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
   }
 
+  /** Runs the DISTRIBUTED fixpoint (fast path disabled): this spec's
+    * shape tests exist to exercise the large/small-star machinery; the
+    * driver fast path has its own equivalence test below.
+    */
   def runCC(edges: Seq[(String, String)]): Map[String, String] = {
     import spark.implicits._
-    Canonicalize.connectedComponents(edges.toDF("u", "v"))
+    Canonicalize.connectedComponents(edges.toDF("u", "v"), driverMaxEdges = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
   }
 
@@ -84,7 +88,8 @@ class CanonicalizeSpec extends AnyFunSuite {
     val edges = (1 to 300).map(i => (f"L$i%04d", "HUB")) ++
       (0 until 20).map(i => (f"P$i%03d", f"P${i + 1}%03d")) :+ (("P000", "HUB"))
     val auto = Canonicalize.connectedComponents(
-      edges.toDF("u", "v"), skewSaltN = 0, autoSaltMaxDegree = 10L)
+      edges.toDF("u", "v"), skewSaltN = 0, autoSaltMaxDegree = 10L,
+      driverMaxEdges = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(auto == unionFind(edges))
   }
@@ -95,11 +100,35 @@ class CanonicalizeSpec extends AnyFunSuite {
     val edges = (0 until 40).map(i => (f"N$i%03d", f"N${(i + 7) % 40}%03d"))
     val local = runCC(edges)
     val reliable = Canonicalize.connectedComponents(
-      edges.toDF("u", "v"), checkpointDir = Some(dir))
+      edges.toDF("u", "v"), checkpointDir = Some(dir), driverMaxEdges = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(local == reliable)
     // the checkpoint directory was actually used
     assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("driver fast path == distributed fixpoint; engages only under the bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = ((1 to 200).map(_ => (s"Q${rnd.nextInt(80)}", s"Q${rnd.nextInt(80)}"))
+      .filter(e => e._1 != e._2) ++ (0 until 30).map(i => (f"C$i%03d", f"C${i + 1}%03d")))
+    // default bound: one bounded collect replaces the whole fixpoint
+    val fast = Canonicalize.connectedComponents(edges.toDF("u", "v"))
+    def hasAgg(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+    // the distributed path ends in a star-forest groupBy; the driver path
+    // returns a plain parallelized result with no aggregate
+    assert(!hasAgg(fast),
+      s"under the bound the result must come from the driver union-find:\n${fast.queryExecution.optimizedPlan}")
+    val fastMap = fast.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fastMap == unionFind(edges))
+    assert(fastMap == runCC(edges)) // distributed fixpoint agrees exactly
+    // a bound below the edge count falls through to the distributed path
+    val over = Canonicalize.connectedComponents(edges.toDF("u", "v"), driverMaxEdges = 5)
+    assert(hasAgg(over), "over the bound the distributed fixpoint must run")
+    assert(over.collect().map(r => r.getString(0) -> r.getString(1)).toMap == fastMap)
   }
 
   test("skewSaltN = 1 (salt disabled) produces the same components") {
@@ -107,7 +136,8 @@ class CanonicalizeSpec extends AnyFunSuite {
     val edges = (0 until 50).map(i => (s"Q${i % 13}", s"Q${(i * 3) % 13}"))
       .filter(e => e._1 != e._2)
     val salted = runCC(edges)
-    val unsalted = Canonicalize.connectedComponents(edges.toDF("u", "v"), skewSaltN = 1)
+    val unsalted = Canonicalize.connectedComponents(edges.toDF("u", "v"),
+      skewSaltN = 1, driverMaxEdges = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(salted == unsalted)
   }
