@@ -149,13 +149,23 @@ object Canonicalize {
       autoSaltMaxDegree: Long = 1000000L,
       driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = edges0.sparkSession
+    val dedup0 = edges0.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // the probe must not make the over-threshold path pay the (possibly
+    // expensive) upstream edge computation twice: persist across the probe
+    // and, on fall-through, seed the fixpoint from the cache via an EAGER
+    // initial checkpoint before releasing it
+    var probed: Option[DataFrame] = None
     if (driverMaxEdges > 0) {
-      val dedup = edges0.select(col("u"), col("v"))
-        .filter(col("u") =!= col("v")).distinct()
+      val d = dedup0.persist()
+      probed = Some(d)
       val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
-      val rows = dedup.limit(cap).collect()
-      if (rows.length <= driverMaxEdges)
-        return driverComponents(spark, rows, dedup.schema("u").dataType)
+      val rows = d.limit(cap).collect()
+      if (rows.length <= driverMaxEdges) {
+        val out = driverComponents(spark, rows, d.schema("u").dataType)
+        d.unpersist(blocking = false)
+        return out
+      }
     }
     val cut: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
@@ -171,8 +181,16 @@ object Canonicalize {
     }
     val auto = skewSaltN <= 0
     var salt = if (auto) 1 else skewSaltN
-    var edges = cut(edges0.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct())
+    var edges = probed match {
+      case Some(d) =>
+        // eager checkpoint off the probe's cache (one extra barrier, no
+        // recompute of the upstream aggregation), then release the cache
+        val e = if (checkpointDir.isDefined) d.checkpoint()
+        else d.localCheckpoint(true)
+        d.unpersist(blocking = false)
+        e
+      case None => cut(dedup0)
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
