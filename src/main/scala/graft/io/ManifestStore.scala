@@ -33,13 +33,53 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
   }
 
   /** Approximate distinct count of the column named via `runStage`'s
-    * `distinctOf` — the skew hint downstream salting gates on.
+    * `distinctOf` — an observability column stat (observed free during the
+    * write job).
     */
   def distinctCountOf(stage: String): Option[Long] = {
     val p = manifestPath(stage)
     if (!Files.exists(p)) return None
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     "\"distinct\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+  }
+
+  /** Head-key degree (max rows per key) of the column named via `runStage`'s
+    * `degreeOf` — the skew signal downstream salt gates key on. A mean
+    * (rows ÷ distinct) cannot bound the max: a Zipfian head key holds a hot
+    * reducer's worth of rows while millions of singletons keep the mean low
+    * (ADVICE r04), so the gate needs the observed MAX, mirroring
+    * `Canonicalize.autoSaltMaxDegree`.
+    */
+  def maxDegreeOf(stage: String): Option[Long] = {
+    val p = manifestPath(stage)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    "\"max_degree\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+  }
+
+  /** Stages above this row count estimate the degree stat from a 1% sample
+    * instead of an exact group-count (see [[maxDegree]]).
+    */
+  val ExactDegreeRows: Long = 10000000L
+
+  /** Max rows-per-key of `c` over the written stage — an Iceberg-style
+    * column stat computed post-write from a column-pruned scan of the
+    * committed files. Exact up to [[ExactDegreeRows]]; above it a 1%
+    * Bernoulli sample scales up: a head key of degree d surfaces ~d/100
+    * sampled rows, so degrees near the salt gates' thresholds (~10^6) are
+    * estimated within a few percent while light keys vanish — exactly the
+    * asymmetry a skew gate wants. The seed is fixed: the stat must be
+    * deterministic across reruns of the same committed files.
+    */
+  private def maxDegree(df: DataFrame, c: String, rows: Long): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val keyed =
+      if (rows <= ExactDegreeRows) df.select(col(c))
+      else df.select(col(c)).sample(withReplacement = false, 0.01, seed = 42L)
+    val r = keyed.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0)
+    val m = if (r.isNullAt(0)) 0L else r.getLong(0)
+    if (rows <= ExactDegreeRows) m else m * 100L
   }
 
   /** Run (or resume) a stage. `fingerprint` must deterministically describe
@@ -50,7 +90,11 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
     * @param distinctOf observe `approx_count_distinct` of this column during
     *                   the write job (zero extra scan — same Observation
     *                   mechanism as the row count) and record it in the
-    *                   manifest as a downstream skew hint
+    *                   manifest
+    * @param degreeOf   also record the max rows-per-key of this column
+    *                   ([[maxDegree]] — one column-pruned pass over the
+    *                   committed files, sampled above [[ExactDegreeRows]]):
+    *                   the head-key skew stat downstream salt gates read
     * @param maxRecordsPerFile bound output file sizes (0 = writer default):
     *                          without it a low-parallelism write emits one
     *                          giant file per task and a high-parallelism
@@ -64,7 +108,8 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       stage: String, fingerprint: String,
       partitionBy: Seq[String] = Nil,
       distinctOf: Option[String] = None,
-      maxRecordsPerFile: Long = 0L)(compute: => DataFrame): (DataFrame, Boolean) = {
+      maxRecordsPerFile: Long = 0L,
+      degreeOf: Option[String] = None)(compute: => DataFrame): (DataFrame, Boolean) = {
     if (fingerprintOf(stage).contains(fingerprint)) {
       return (spark.read.parquet(dataPath(stage)), true)
     }
@@ -87,8 +132,11 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       .map(_ => s""","distinct":${obs.get("distinct").asInstanceOf[Long]}""")
       .getOrElse("")
     val written = spark.read.parquet(dataPath(stage))
+    val degreeJson = degreeOf
+      .map(c => s""","max_degree":${maxDegree(written, c, rows)}""")
+      .getOrElse("")
     val manifest =
-      s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows$distinctJson,""" +
+      s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows$distinctJson$degreeJson,""" +
         s""""maxRecordsPerFile":$maxRecordsPerFile,"committed_at":${System.currentTimeMillis()}}"""
     val tmp = manifestPath(stage).resolveSibling("_MANIFEST.json.tmp")
     Files.createDirectories(tmp.getParent)
@@ -122,7 +170,8 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       stage: String, fingerprint: String,
       bucketCols: Seq[String], sortCols: Seq[String], nBuckets: Int,
       distinctOf: Option[String] = None,
-      maxRecordsPerFile: Long = 0L)(compute: => DataFrame): (DataFrame, Boolean) = {
+      maxRecordsPerFile: Long = 0L,
+      degreeOf: Option[String] = None)(compute: => DataFrame): (DataFrame, Boolean) = {
     val table = bucketedTableName(stage)
     def register(): Unit = if (!spark.catalog.tableExists(table)) {
       val schema = spark.read.parquet(dataPath(stage)).schema
@@ -155,8 +204,11 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
     val distinctJson = distinctOf
       .map(_ => s""","distinct":${obs.get("distinct").asInstanceOf[Long]}""")
       .getOrElse("")
+    val degreeJson = degreeOf
+      .map(c => s""","max_degree":${maxDegree(spark.table(table), c, rows)}""")
+      .getOrElse("")
     val manifest =
-      s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows$distinctJson,""" +
+      s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows$distinctJson$degreeJson,""" +
         s""""maxRecordsPerFile":$maxRecordsPerFile,"bucketBy":"${bucketCols.mkString(",")}",""" +
         s""""nBuckets":$nBuckets,"committed_at":${System.currentTimeMillis()}}"""
     val tmp = manifestPath(stage).resolveSibling("_MANIFEST.json.tmp")

@@ -38,12 +38,20 @@ object Curate {
 
   /** Quality gate → cluster dedup (drop every clustered doc except its
     * min-id representative) → split assignment.
+    *
+    * The cluster pass goes through the tracked capped dedup path
+    * ([[Dedup.minhashClusters]] → `minhashNearDupsTracked`), so the 100-TB
+    * defaults apply here too: bucket cap 1000, df cap corpus/100 (of the
+    * GATE SURVIVORS — the corpus the dedup actually runs on), dropped
+    * volume logged, signature plan evaluated once. Uncapped is an explicit
+    * opt-in via `maxBucket = Long.MaxValue, maxDfFraction = 1.0`.
+    *
     * @return (idCol, quality_milli, split) for every SURVIVING document
     */
   def curate(df: DataFrame, idCol: String, textCol: String,
       minQualityMilli: Int = 500,
       numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 80,
-      maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue,
+      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01,
       trainBp: Int = 9000, valBp: Int = 500): DataFrame = {
     val scored = TextAnalysis.quality(df, idCol, textCol)
       .select(col(idCol), col("quality_milli"))
@@ -52,7 +60,7 @@ object Curate {
     // representative that evicts a high-quality near-duplicate
     val kept = df.join(scored.select(col(idCol)), Seq(idCol), "left_semi")
     val dupes = Dedup.minhashClusters(kept, idCol, textCol, numHashes, bands,
-        thresholdPct, maxDf, maxBucket)
+        thresholdPct, maxBucket, maxDfFraction)
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as(idCol))
     scored.join(dupes, Seq(idCol), "left_anti")

@@ -201,6 +201,17 @@ object Dedup {
     * uses, [[graft.pipeline.Canonicalize.connectedComponents]]) → one
     * representative (the minimum id) per cluster.
     *
+    * Routed through [[minhashNearDupsTracked]] (VERDICT r04 #2), so the
+    * top-of-stack entry point gets the 100-TB defaults: BOTH caps on
+    * (`maxBucket` = 1000, `maxDf` = corpus/100 — one viral boilerplate
+    * bucket is a k² candidate blowup at corpus scale), dropped volume
+    * logged, and the tokenize→sign→band plan persisted and evaluated
+    * exactly once across the cap semi-join, candidate join, verify join
+    * and CC's initial edge materialization (the caches release after CC's
+    * eager checkpoint/probe pins the edge set). Uncapped stays an explicit
+    * opt-in: compose the raw [[minhashLshPairs]] with
+    * `Canonicalize.connectedComponents` directly.
+    *
     * @return (doc_id, rep_id) for every document in some cluster; documents
     *         with no near-dup are absent (their representative is
     *         themselves). Dedup = anti-join the corpus against
@@ -208,12 +219,34 @@ object Dedup {
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
-      maxDf: Long = Long.MaxValue, maxBucket: Long = Long.MaxValue): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands,
-      thresholdPct, maxDf, maxBucket)
-    graft.pipeline.Canonicalize.connectedComponents(
+      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01,
+      corpusRowsHint: Option[Long] = None): DataFrame = {
+    val (clusters, _, handles) = minhashClustersTracked(df, idCol, textCol,
+      numHashes, bands, thresholdPct, maxBucket, maxDfFraction, corpusRowsHint)
+    // connectedComponents has already materialized the edge set (driver
+    // union-find probe, or the eager initial checkpoint of the distributed
+    // fixpoint) — the signature caches are no longer referenced
+    handles.foreach(_.unpersist(blocking = false))
+    clusters
+  }
+
+  /** [[minhashClusters]] plus the underlying pairs plan and the persisted
+    * handles (for callers that also want the pair evidence, and for the
+    * plan assertion that every pairs-plan leaf reads the cache). NOTE:
+    * construction runs TWO actions (the drop-volume measurement and CC's
+    * edge materialization); the returned `clusters` frame itself is cheap
+    * to re-collect. Callers must release `handles` when done.
+    */
+  def minhashClustersTracked(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 60,
+      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01,
+      corpusRowsHint: Option[Long] = None): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (pairs, handles) = minhashNearDupsTracked(df, idCol, textCol,
+      numHashes, bands, thresholdPct, maxBucket, maxDfFraction, corpusRowsHint)
+    val clusters = graft.pipeline.Canonicalize.connectedComponents(
       pairs.select(col("a").as("u"), col("b").as("v")))
       .select(col("node").as("doc_id"), col("canonical_id").as("rep_id"))
+    (clusters, pairs, handles)
   }
 
   private val SimhashBits = 48

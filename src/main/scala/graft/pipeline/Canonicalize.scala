@@ -103,8 +103,19 @@ object Canonicalize {
       val (ra, rb) = (find(e.get(0)), find(e.get(1)))
       if (ra != rb) parent(rb) = ra
     }
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // strings must compare in UTF-8 BYTE order to match the distributed
+    // fixpoint's min (Spark's UTF8String compares binary, i.e. code-point
+    // order; Java String.compareTo is UTF-16 code-unit order, which ranks
+    // supplementary characters BELOW [0xE000, 0xFFFF] BMP ones via their
+    // surrogates — the two paths would elect different representatives for
+    // the same component, ADVICE r04)
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
     val nodes = rows.iterator.flatMap(e => Iterator(e.get(0), e.get(1))).toSet
     nodes.foreach { n =>

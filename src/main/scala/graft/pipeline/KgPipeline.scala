@@ -29,11 +29,45 @@ object KgPipeline {
       linkScores: DataFrame, triples: DataFrame, nodes: DataFrame,
       edges: DataFrame, metrics: DataFrame)
 
-  /** Stages whose write jobs also observe an approx-distinct count (the
-    * downstream skew hint): mentions' distinct linked ids feed the
-    * link-score salt gate.
+  /** Stages whose write jobs also observe an approx-distinct count
+    * (observability column stat).
     */
   private val StageDistinct: Map[String, String] = Map("mentions" -> "id")
+
+  /** Stages that record a head-key degree stat (max rows per key — one
+    * column-pruned pass over the committed files, sampled at scale): the
+    * mentions stage's max mentions-per-id drives the link-score salt gate
+    * (a MEAN hint cannot bound the head degree — ADVICE r04).
+    */
+  private val StageDegree: Map[String, String] = Map("mentions" -> "id")
+
+  /** SHA-256 of a parent fingerprint for the chain (VERDICT r04 #3): the
+    * round-4 chain folded parents through 32-bit `String.hashCode`, where a
+    * collision between two different parent fingerprints would silently
+    * resume a stale downstream stage. A crypto digest makes stale-resume
+    * impossible, not just improbable.
+    */
+  private[graft] def fpDigest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** One stage's chained fingerprint: base config/input identity + stage
+    * name + the crypto digest of every parent's full fingerprint.
+    */
+  private[graft] def stageFp(prefix: String, stage: String,
+      parents: Seq[(String, String)]): String =
+    s"$prefix;stage=$stage;parents=[" +
+      parents.map { case (n, fp) => s"$n=${fpDigest(fp)}" }.mkString(",") + "]"
+
+  /** `mentionBuckets < 0` (the default) resolves to the session's default
+    * parallelism — the bucketed mentions stage is the production default
+    * (BASELINE.md: bucketed wins at every measured level); `0` opts out to
+    * the unbucketed stage; a positive value is explicit.
+    */
+  private def resolveBuckets(spark: SparkSession, mentionBuckets: Int): Int =
+    if (mentionBuckets < 0) spark.sparkContext.defaultParallelism
+    else mentionBuckets
 
   /** Default per-file record bound for stage writes — the file-size policy a
     * real table format's compaction would own: bounds the one-giant-file-
@@ -105,7 +139,11 @@ object KgPipeline {
     redirectEdges.unionByName(surfaceEdges).distinct()
   }
 
-  /** @param inputVersion caller-supplied identity of the INPUT DATA (e.g. a
+  /** @param saltN link-score salt fan-out: positive forces it (authoritative,
+    *              never overridden by hints); 0 (the default) is AUTO — the
+    *              mentions stage's recorded head-id degree picks the shape
+    *              (see [[SaltedAgg.linkScores]])
+    * @param inputVersion caller-supplied identity of the INPUT DATA (e.g. a
     *                     snapshot id, source path + mtime, or synth params).
     *                     Folded into every fingerprint: re-running against the
     *                     same outDir with different inputs must pass a new
@@ -115,6 +153,10 @@ object KgPipeline {
     * @param dictBroadcastMaxRows dictionary rows above which mention detection
     *                             switches from the broadcast trie scan to the
     *                             shuffle join (see [[Mentions.detectAuto]])
+    * @param mentionBuckets conv-bucketed mentions stage: negative (default)
+    *                       = AUTO (defaultParallelism buckets — the
+    *                       production shape); 0 opts out (unbucketed);
+    *                       positive is explicit
     */
   def run(
       spark: SparkSession,
@@ -124,14 +166,15 @@ object KgPipeline {
       redirects: DataFrame,
       outDir: String,
       cfg: EntityIndexConfig = EntityIndexConfig(),
-      saltN: Int = 16,
+      saltN: Int = 0,
       inputVersion: String = "unversioned",
       checkpointDir: Option[String] = None,
       dictBroadcastMaxRows: Long = 20000000L,
       maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
-      mentionBuckets: Int = 0): Result = {
+      mentionBuckets: Int = -1): Result = {
 
     val store = new ManifestStore(spark, outDir)
+    val buckets = resolveBuckets(spark, mentionBuckets)
     val t0 = System.currentTimeMillis()
     val metricsRows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Boolean)]
     // fingerprint chain: stage fp = base config + input version + parent fps
@@ -139,16 +182,16 @@ object KgPipeline {
     val chain = scala.collection.mutable.Map.empty[String, String]
     def timed(stage: String, parents: Seq[String],
         partitionBy: Seq[String] = Nil)(f: => DataFrame): DataFrame = {
-      val fp = s"$baseFp;stage=$stage;parents=[" +
-        parents.map(p => s"$p=${chain(p).hashCode}").mkString(",") + "]"
+      val fp = stageFp(baseFp, stage, parents.map(p => p -> chain(p)))
       chain(stage) = fp
       val s = System.currentTimeMillis()
       val (df, resumed) =
-        if (stage == "mentions" && mentionBuckets > 0)
+        if (stage == "mentions" && buckets > 0)
           store.runStageBucketed(stage, fp, MentionBucketCols, MentionSortCols,
-            mentionBuckets, StageDistinct.get(stage), maxRecordsPerFile)(f)
+            buckets, StageDistinct.get(stage), maxRecordsPerFile,
+            StageDegree.get(stage))(f)
         else store.runStage(stage, fp, partitionBy,
-          StageDistinct.get(stage), maxRecordsPerFile)(f)
+          StageDistinct.get(stage), maxRecordsPerFile, StageDegree.get(stage))(f)
       metricsRows += ((stage, store.rowCountOf(stage).getOrElse(-1L),
         System.currentTimeMillis() - s, resumed))
       df
@@ -174,7 +217,7 @@ object KgPipeline {
       entityIndex, propertyIndex, outDir, saltN, inputVersion, checkpointDir,
       dictBroadcastMaxRows, dictRowsHint, s"ei=${chain("entity_index")};pi=${chain("property_index")}",
       (st, pr, pb) => f => timed(st, pr, pb)(f),
-      maxRecordsPerFile, mentionBuckets)
+      maxRecordsPerFile, buckets)
 
     import spark.implicits._
     val metrics = metricsRows.toSeq
@@ -208,7 +251,7 @@ object KgPipeline {
       entityIndex: DataFrame,
       propertyIndex: DataFrame,
       outDir: String,
-      saltN: Int = 16,
+      saltN: Int = 0,
       inputVersion: String = "unversioned",
       checkpointDir: Option[String] = None,
       dictBroadcastMaxRows: Long = 20000000L,
@@ -216,8 +259,9 @@ object KgPipeline {
       dictVersion: String = "dict",
       timedOpt: (String, Seq[String], Seq[String]) => (=> DataFrame) => DataFrame = null,
       maxRecordsPerFile: Long = DefaultMaxRecordsPerFile,
-      mentionBuckets: Int = 0): Result = {
+      mentionBuckets: Int = -1): Result = {
 
+    val buckets = resolveBuckets(spark, mentionBuckets)
     val timed: (String, Seq[String], Seq[String]) => (=> DataFrame) => DataFrame =
       if (timedOpt != null) timedOpt
       else {
@@ -226,14 +270,16 @@ object KgPipeline {
         (stage, parents, partitionBy) => f => {
           // unknown parents (the prebuilt dictionary) resolve to dictVersion,
           // so the dictionary's identity enters the fingerprint chain
-          val fp = s"iv=$inputVersion;saltN=$saltN;stage=$stage;parents=[" +
-            parents.map(p => s"$p=${chain.getOrElse(p, dictVersion).hashCode}").mkString(",") + "]"
+          val fp = stageFp(s"iv=$inputVersion;saltN=$saltN", stage,
+            parents.map(p => p -> chain.getOrElse(p, dictVersion)))
           chain(stage) = fp
-          if (stage == "mentions" && mentionBuckets > 0)
+          if (stage == "mentions" && buckets > 0)
             store.runStageBucketed(stage, fp, MentionBucketCols, MentionSortCols,
-              mentionBuckets, StageDistinct.get(stage), maxRecordsPerFile)(f)._1
+              buckets, StageDistinct.get(stage), maxRecordsPerFile,
+              StageDegree.get(stage))(f)._1
           else store.runStage(stage, fp, partitionBy,
-            StageDistinct.get(stage), maxRecordsPerFile)(f)._1
+            StageDistinct.get(stage), maxRecordsPerFile,
+            StageDegree.get(stage))(f)._1
         }
       }
 
@@ -246,22 +292,20 @@ object KgPipeline {
     }
     // the stage is materialized (or resumed) — release detection's caches
     mentionCaches.foreach(_.unpersist(blocking = false))
-    // skew hint for the link-score salt gate: mean mentions per linked id
-    // from the mentions manifest (rows + approx-distinct, both observed for
-    // free during the stage write). A resumed pre-hint manifest yields None
-    // → the conservative salted shape.
+    // skew hint for the link-score salt gate: the HEAD-KEY degree (max
+    // mentions per linked id) recorded by the mentions stage write as a
+    // column stat in its manifest — a mean cannot bound the head degree
+    // (ADVICE r04). A resumed pre-hint manifest yields None → the
+    // conservative salted shape (unless the caller forced saltN).
     val mStore = new ManifestStore(spark, outDir)
-    val meanIdFreq = for {
-      r <- mStore.rowCountOf("mentions")
-      d <- mStore.distinctCountOf("mentions") if d > 0
-    } yield r.toDouble / d
+    val maxIdDegree = mStore.maxDegreeOf("mentions")
     val scores = timed("link_scores", Seq("mentions"), Nil) {
-      SaltedAgg.linkScores(mentions, saltN, meanIdFreq)
+      SaltedAgg.linkScores(mentions, saltN, maxIdDegree)
     }
     val triples = timed("triples", Seq("mentions"), Nil) {
       // over the bucketed mentions table the relational-grouping walk plans
       // with zero Exchange (the write already co-located conversations)
-      if (mentionBuckets > 0) Triples.extractBucketed(mentions)
+      if (buckets > 0) Triples.extractBucketed(mentions)
       else Triples.extractFast(mentions)
     }
     val canon = timed("canonical_map", Seq("mentions"), Nil) {

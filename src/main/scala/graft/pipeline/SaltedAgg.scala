@@ -63,25 +63,33 @@ object SaltedAgg {
     * the head-QID-skewed shuffle of the pipeline. Salted from the mention's
     * position columns (stable content, uncorrelated with the hot id).
     *
-    * The salt is GATED on an observed skew signal, mirroring the CC salt
-    * (`Canonicalize` — VERDICT r03 #3): when the caller supplies a
-    * mean-mentions-per-id hint (rows ÷ approx-distinct ids, both observed
-    * for free during the mentions stage write and read back from its
-    * manifest) and it sits under `skewMeanFreq`, the two-phase plan — whose
-    * second exchange is a real fixed cost at EVERY scale — degenerates to
-    * the plain one-exchange aggregate. No hint (standalone callers) keeps
-    * the conservative salted form; a forced `saltN` with a high hint keeps
-    * the skew protection. Gating is safe because both forms are exactly
-    * equivalent on any input (`salted_agg_equiv` oracle) — the hint only
-    * picks the physical shape.
+    * The salt is GATED on the observed HEAD-KEY DEGREE, mirroring the CC
+    * salt's `autoSaltMaxDegree` (`Canonicalize`): the round-4 gate keyed on
+    * MEAN mentions-per-id, but a mean cannot bound the max — a Zipfian head
+    * QID holds a hot reducer's worth of rows while millions of singleton
+    * ids keep the mean low, disabling the salt exactly when it is needed
+    * (ADVICE r04). `maxDegreeHint` is the max rows-per-id column stat the
+    * mentions stage write records in its manifest
+    * ([[graft.io.ManifestStore.maxDegreeOf]]); under `skewMaxDegree` the
+    * two-phase plan — whose second exchange is a real fixed cost at EVERY
+    * scale — degenerates to the plain one-exchange aggregate.
+    *
+    * Authority (ADVICE r04): `saltN > 0` is a caller-FORCED fan-out and is
+    * never overridden by the hint; `saltN = 0` (the default) is AUTO —
+    * observed head degree picks the shape, and no hint keeps the
+    * conservative salted form (16). Gating is safe because both forms are
+    * exactly equivalent on any input (`salted_agg_equiv` oracle) — the
+    * hint only picks the physical shape.
     */
-  def linkScores(mentions: DataFrame, saltN: Int = 16,
-      meanIdFreqHint: Option[Double] = None,
-      skewMeanFreq: Double = 64.0): DataFrame = {
-    val effSaltN = meanIdFreqHint match {
-      case Some(f) if f < skewMeanFreq => 1
-      case _ => saltN
-    }
+  def linkScores(mentions: DataFrame, saltN: Int = 0,
+      maxDegreeHint: Option[Long] = None,
+      skewMaxDegree: Long = 1000000L): DataFrame = {
+    val effSaltN =
+      if (saltN > 0) saltN
+      else maxDegreeHint match {
+        case Some(d) if d < skewMaxDegree => 1
+        case _ => 16
+      }
     apply(mentions, Seq("id"),
       Seq(Measure("id", "count", "n_mentions"), Measure("score", "sum", "total_score")),
       effSaltN, saltFrom = Seq("conv_id", "turn_idx", "span_start"))

@@ -40,10 +40,13 @@ object OpsQueries {
       "doc_id", "text", numHashes = 32, bands = 8, thresholdPct = 80,
       maxDf = 50L, maxBucket = 5L)
 
-  /** Near-dup clusters over the same sample as [[dedupMinhashLsh]]: pairs →
-    * connected components → (doc_id, rep_id). The oracle closes the same
-    * pair set with a recursive CTE, so the composition (LSH × union-find)
-    * is driver-verified end to end.
+  /** Near-dup clusters over the same sample as [[dedupMinhashLsh]]:
+    * CAPPED-BY-DEFAULT pairs (df cap greatest(100, corpus/100), bucket cap
+    * 1000 — the entry point routes through the tracked capped dedup) →
+    * connected components → (doc_id, rep_id). The oracle reproduces the
+    * caps as HAVING clauses and closes the pair set with a recursive CTE,
+    * so the composition (capped LSH × union-find) is driver-verified end
+    * to end.
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     Dedup.minhashClusters(
@@ -51,7 +54,9 @@ object OpsQueries {
       "doc_id", "text", numHashes = 32, bands = 8, thresholdPct = 80)
 
   /** Full curation composition on the same sample: quality gate (≥900
-    * drops stopword-free docs) → cluster dedup → deterministic split.
+    * drops stopword-free docs) → capped cluster dedup (same 100-TB
+    * defaults as [[dedupClusters]], caps reproduced in the oracle) →
+    * deterministic split.
     */
   def curateCorpus(s: SparkSession, d: String): DataFrame =
     graft.ops.Curate.curate(

@@ -387,15 +387,21 @@ object Oracles {
         |WHERE len(list_intersect(ta.toks, tb.toks)) * 100
         |      >= 80 * (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))""".stripMargin,
 
-    // near-dup CLUSTERS: the dedup_minhash_lsh pair set closed into
-    // connected components by a recursive CTE (same closure shape as the
+    // near-dup CLUSTERS: the capped-by-default pair set (df cap
+    // greatest(100, corpus/100), bucket cap 1000 — the clusters entry point
+    // routes through the tracked capped dedup) closed into connected
+    // components by a recursive CTE (same closure shape as the
     // cc_components oracle) — one representative (min id) per cluster
     "dedup_clusters" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
-        |toks AS (
-        |  SELECT doc_id AS id,
-        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
-        |  FROM docs),
+        |tok AS (SELECT DISTINCT doc_id AS id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs)
+        |  WHERE token <> ''),
+        |kept AS (
+        |  SELECT id, token FROM tok
+        |  WHERE token IN (SELECT token FROM tok GROUP BY token HAVING count(*) <=
+        |    (SELECT greatest(100, CAST(floor(count(*) * 0.01) AS BIGINT)) FROM docs))),
+        |toks AS (SELECT id, list(token) AS toks FROM kept GROUP BY id),
         |nz AS (SELECT id, toks FROM toks WHERE len(toks) > 0),
         |hs AS (
         |  SELECT id, toks, list_transform(toks, t ->
@@ -415,9 +421,13 @@ object Oracles {
         |         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
         |           (acc, x) -> (acc*1000003 + x) % 1000000007) AS bhash
         |  FROM sigs, unnest(range(0, 8)) AS t(b)),
+        |capped AS (
+        |  SELECT bd.* FROM banded bd
+        |  JOIN (SELECT band, bhash FROM banded GROUP BY band, bhash
+        |        HAVING count(*) <= 1000) keep USING (band, bhash)),
         |cands AS (
         |  SELECT DISTINCT x.id AS a, y.id AS b
-        |  FROM banded x JOIN banded y
+        |  FROM capped x JOIN capped y
         |    ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id),
         |pairs AS (
         |  SELECT c.a, c.b
@@ -433,8 +443,10 @@ object Oracles {
         |SELECT x AS doc_id, min(y) AS rep_id FROM reach GROUP BY x""".stripMargin,
 
     // the full curation composition: quality gate (>= 900 keeps only docs
-    // with a stopword hit) -> minhash pairs over the SURVIVORS -> recursive
-    // component closure -> drop non-representatives -> content-hash split
+    // with a stopword hit) -> CAPPED minhash pairs over the SURVIVORS (df
+    // cap greatest(100, survivors/100), bucket cap 1000 — curate routes
+    // through the tracked capped dedup) -> recursive component closure ->
+    // drop non-representatives -> content-hash split
     "curate_corpus" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
         |q AS (
@@ -448,10 +460,14 @@ object Oracles {
         |    END AS quality_milli
         |  FROM docs),
         |kept AS (SELECT doc_id, text, quality_milli FROM q WHERE quality_milli >= 900),
-        |toks AS (
-        |  SELECT doc_id AS id,
-        |         list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
-        |  FROM kept),
+        |tok AS (SELECT DISTINCT doc_id AS id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM kept)
+        |  WHERE token <> ''),
+        |tokk AS (
+        |  SELECT id, token FROM tok
+        |  WHERE token IN (SELECT token FROM tok GROUP BY token HAVING count(*) <=
+        |    (SELECT greatest(100, CAST(floor(count(*) * 0.01) AS BIGINT)) FROM kept))),
+        |toks AS (SELECT id, list(token) AS toks FROM tokk GROUP BY id),
         |nz AS (SELECT id, toks FROM toks WHERE len(toks) > 0),
         |hs AS (
         |  SELECT id, toks, list_transform(toks, t ->
@@ -471,9 +487,13 @@ object Oracles {
         |         list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*4+1 : b*4+4]),
         |           (acc, x) -> (acc*1000003 + x) % 1000000007) AS bhash
         |  FROM sigs, unnest(range(0, 8)) AS t(b)),
+        |capped AS (
+        |  SELECT bd.* FROM banded bd
+        |  JOIN (SELECT band, bhash FROM banded GROUP BY band, bhash
+        |        HAVING count(*) <= 1000) keep USING (band, bhash)),
         |cands AS (
         |  SELECT DISTINCT x.id AS a, y.id AS b
-        |  FROM banded x JOIN banded y
+        |  FROM capped x JOIN capped y
         |    ON x.band = y.band AND x.bhash = y.bhash AND x.id < y.id),
         |pairs AS (
         |  SELECT c.a, c.b

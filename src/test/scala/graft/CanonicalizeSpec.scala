@@ -131,6 +131,24 @@ class CanonicalizeSpec extends AnyFunSuite {
     assert(over.collect().map(r => r.getString(0) -> r.getString(1)).toMap == fastMap)
   }
 
+  test("driver path min matches distributed UTF-8 byte order on supplementary chars") {
+    import spark.implicits._
+    // U+10000 (a supplementary char, UTF-16 surrogates 0xD800 0xDC00) vs
+    // U+E000 (BMP): Java String order ranks the surrogate pair FIRST, while
+    // Spark's UTF8String binary order ranks by code point — U+E000 is the
+    // true minimum. Both paths must elect the same representative
+    // (ADVICE r04).
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "\uE000"
+    assert(supp.compareTo(bmp) < 0, "UTF-16 order must disagree (test premise)")
+    val edges = Seq((supp, bmp), (bmp, "\uFFFDz"))
+    val fast = Canonicalize.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = runCC(edges)
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast.values.toSet == Set(bmp), s"min must be the BMP char: $fast")
+  }
+
   test("skewSaltN = 1 (salt disabled) produces the same components") {
     import spark.implicits._
     val edges = (0 until 50).map(i => (s"Q${i % 13}", s"Q${(i * 3) % 13}"))

@@ -97,7 +97,7 @@ class MentionTripleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("link-score salt gates on the mean-frequency hint (plan-asserted)") {
+  test("link-score salt gates on HEAD DEGREE; forced saltN is authoritative") {
     import spark.implicits._
     val rows = (1 to 2000).map { i =>
       val id = if (i % 3 == 0) "HEAD" else s"Q${i % 50}"
@@ -112,14 +112,18 @@ class MentionTripleSpec extends AnyFunSuite {
         .split("== Initial Plan ==")(0)
         .split("\n").count(_.contains("Exchange hashpartitioning"))
     }
-    // non-skewed hint → the salt degenerates: exactly ONE aggregation exchange
-    val gated = SaltedAgg.linkScores(df, saltN = 8, meanIdFreqHint = Some(4.0))
+    // AUTO + sub-threshold head degree → the salt degenerates: ONE exchange
+    val gated = SaltedAgg.linkScores(df, maxDegreeHint = Some(4000L))
     assert(exchanges(gated) == 1, "gated-off salt must be single-phase")
-    // skewed hint (or none) → the two-phase salted shape engages
-    val engaged = SaltedAgg.linkScores(df, saltN = 8, meanIdFreqHint = Some(500.0))
-    assert(exchanges(engaged) == 2, "skew hint must engage the two-phase salt")
-    assert(exchanges(SaltedAgg.linkScores(df, saltN = 8)) == 2,
+    // AUTO + a Zipf-head degree → the two-phase salted shape engages
+    val engaged = SaltedAgg.linkScores(df, maxDegreeHint = Some(5000000L))
+    assert(exchanges(engaged) == 2, "head-degree hint must engage the salt")
+    assert(exchanges(SaltedAgg.linkScores(df)) == 2,
       "no hint stays conservatively salted")
+    // a caller-FORCED saltN is authoritative: the hint never overrides it
+    // (the round-4 gate silently disabled an explicit fan-out — ADVICE r04)
+    assert(exchanges(SaltedAgg.linkScores(df, saltN = 8,
+      maxDegreeHint = Some(4L))) == 2, "forced saltN must win over the hint")
     // both physical shapes, same result
     def res(out: org.apache.spark.sql.DataFrame) = out.collect()
       .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1000))).toSet

@@ -316,6 +316,68 @@ class OpsSpec extends AnyFunSuite {
     assert(nr == 80L, s"20 rows x 4 bands: $nr")
   }
 
+  test("clusters entry point: capped defaults + single-eval pairs plan") {
+    // capped defaults are a no-op at this corpus size (maxDf = max(100,
+    // 38/100) = 100 > any df; no bucket near 1000), so the capped entry
+    // point must equal the uncapped composition — while its pairs plan
+    // reads ONLY the persisted signature caches
+    val (clusters, pairs, handles) = Dedup.minhashClustersTracked(
+      corpus, "doc_id", "text", thresholdPct = 70)
+    val leaves = pairs.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"clusters pairs plan must read the cache:\n${pairs.queryExecution.optimizedPlan}")
+    val got = clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = graft.pipeline.Canonicalize.connectedComponents(
+        Dedup.minhashLshPairs(corpus, "doc_id", "text", thresholdPct = 70)
+          .select(col("a").as("u"), col("b").as("v")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"capped-default clusters == uncapped at no-op scale")
+    handles.foreach(_.unpersist(blocking = true))
+
+    // the untracked wrapper releases its own caches (CC's probe/checkpoint
+    // has pinned the edge set by then)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashClusters(corpus, "doc_id", "text", thresholdPct = 70).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "minhashClusters must not leak its signature caches")
+  }
+
+  test("clusters/curate: planted hot bucket stays bounded under the caps") {
+    import spark.implicits._
+    // 1200 copies of the same viral boilerplate: uncapped this is a
+    // 1200² ≈ 1.4M-candidate blowup per band; the default df cap
+    // (max(100, 1202/100) = 100) removes the viral tokens before signing,
+    // so the boilerplate docs never reach the banded self-join at all
+    val viral = (0L until 1200L).map(i => (i, "viral boilerplate text shared"))
+    val nearDupA = "the unique alpha beta gamma delta epsilon zeta eta theta words"
+    val nearDupB = "the unique alpha beta gamma delta epsilon zeta eta iota words"
+    val df = (viral ++ Seq((5000L, nearDupA), (5001L, nearDupB)))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.minhashClusters(df, "doc_id", "text", thresholdPct = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // genuine near-dups (distinctive tokens, df = 2 each) still cluster;
+    // the capped path trades recall on viral boilerplate for boundedness
+    // (exact-hash dedup is the right operator for identical docs)
+    assert(clusters == Map(5000L -> 5000L, 5001L -> 5000L),
+      s"near-dups cluster, viral docs stay un-paired: ${clusters.size} rows")
+    // curate composes the same capped path: completes bounded, dedups the
+    // near-dup pair, keeps every viral doc (gate off to isolate dedup)
+    val out = graft.ops.Curate.curate(df, "doc_id", "text",
+        minQualityMilli = 0, thresholdPct = 70)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out.size == 1201 && out.contains(5000L) && !out.contains(5001L),
+      s"curate: ${out.size} survivors")
+    // the BUCKET cap is the second rail (signature-identical docs whose
+    // tokens survive the df cap): forcing it low on the 20-identical-doc
+    // shape drops the hot buckets instead of joining them
+    val ident = ((0L until 20L).map(i => (i, "same same text")) :+
+      ((99L, "unique words here"))).toDF("doc_id", "text")
+    val capped = Dedup.minhashClusters(ident, "doc_id", "text",
+      thresholdPct = 70, maxBucket = 10L)
+    assert(capped.count() == 0, "over-cap buckets must be dropped, not joined")
+  }
+
   test("multimodal: attach → stubbed decode → frame sampling plumbing") {
     val d = docs((1L, "a" * 100), (2L, "bb"))
     val media = Multimodal.attach(d, "doc_id", "text")

@@ -183,7 +183,43 @@ class PipelineE2ESpec extends AnyFunSuite {
           .collect().map(_.toString))
         .toSet
     }
-    assert(runWith(4) == runWith(0))
+    val bucketed = runWith(4)
+    assert(bucketed == runWith(0))
+    // the AUTO default (negative → defaultParallelism buckets) is the
+    // production shape and must stay output-identical too (VERDICT r04 #4)
+    assert(bucketed == runWith(-1))
+  }
+
+  test("fingerprint chain: hashCode-colliding parents yield distinct stage fps") {
+    // "Aa" and "BB" collide under 32-bit String.hashCode, and the collision
+    // propagates to any shared-prefix pair — the round-4 chain folded
+    // parents via hashCode, so these two DIFFERENT parent fingerprints
+    // produced the SAME downstream fingerprint and a silent stale resume.
+    // The sha-256 chain must keep them distinct (VERDICT r04 #3).
+    val p1 = "iv=x;stage=mentions;parents=[];salt=Aa"
+    val p2 = "iv=x;stage=mentions;parents=[];salt=BB"
+    assert(p1.hashCode == p2.hashCode, "crafted 32-bit collision (test premise)")
+    assert(p1 != p2)
+    val f1 = KgPipeline.stageFp("base", "triples", Seq("mentions" -> p1))
+    val f2 = KgPipeline.stageFp("base", "triples", Seq("mentions" -> p2))
+    assert(f1 != f2, "chained fingerprints must distinguish colliding parents")
+  }
+
+  test("degree stat: manifest records max rows-per-key (the salt-gate signal)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-degree").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    // head key with 500 rows among 100 singletons: mean ≈ 5.9 but the head
+    // degree is 500 — exactly the Zipf shape a mean-based gate misreads
+    val df = ((1 to 500).map(_ => "HEAD") ++ (1 to 100).map(i => s"q$i"))
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toDF("id", "v")
+    store.runStage("deg", "fp-deg", Nil, distinctOf = Some("id"),
+      degreeOf = Some("id"))(df)
+    assert(store.maxDegreeOf("deg").contains(500L),
+      s"exact head degree expected: ${store.maxDegreeOf("deg")}")
+    // absent when not requested
+    store.runStage("nodeg", "fp-nodeg")(df)
+    assert(store.maxDegreeOf("nodeg").isEmpty)
   }
 
   test("resume: second run reads every stage from manifests; outputs identical") {

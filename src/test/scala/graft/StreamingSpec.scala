@@ -136,6 +136,138 @@ class StreamingSpec extends AnyFunSuite {
       "test corpus must contain a cross-batch-dependent triple")
   }
 
+  private def smallDict = {
+    import spark.implicits._
+    Seq(
+      ("paris", "Q90", false, 50L),
+      ("berlin", "Q64", false, 40L),
+      ("borders", "P47", true, 20L))
+      .toDF("surface", "id", "is_prop", "weight")
+      .withColumn("kind", lit(0))
+  }
+  private val tsBase = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+  private def mkTs(sec: Long) = new java.sql.Timestamp(tsBase + sec * 1000)
+
+  test("drained stream ending on a buffered turn: flush sentinels complete it") {
+    import spark.implicits._
+    val dict = smallDict
+    // the LAST turn holds the only triple — after the first AvailableNow
+    // run it is still watermark-buffered (nothing later advances the
+    // watermark past it): the documented drained-tail shape
+    val corpus = Seq(
+      ("c1", 0, "we saw paris today", mkTs(0)),
+      ("c1", 1, "borders berlin today", mkTs(10)))
+      .toDF("conv_id", "turn_idx", "text", "ts")
+    val srcDir = Files.createTempDirectory("flush-src").toString
+    corpus.coalesce(1).write.mode("append").parquet(srcDir)
+    val outDir = Files.createTempDirectory("flush-out").toString
+    val ckDir = Files.createTempDirectory("flush-ck").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = IncrementalKg.statefulTriplesStream(stream, dict, outDir,
+        "kgflush", ckDir, watermarkDelay = "1 second")
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+      spark.streams.resetTerminated()
+    }
+    runOnce()
+    def got() = spark.read.parquet(outDir)
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(_.toString).toSet
+    val want = graft.pipeline.Triples.extract(
+      graft.pipeline.Mentions.detectFast(corpus, dict))
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty && got().isEmpty,
+      s"premise: the tail must still be buffered after the drain: ${got()}")
+    // append the sentinels, re-run the SAME query from its checkpoint
+    IncrementalKg.writeFlushSentinels(spark, srcDir, corpus.schema, "paris",
+      afterTsMillis = mkTs(10).getTime, watermarkDelayMillis = 1000L)
+    runOnce()
+    assert(got() == want, s"flushed tail must match batch: ${got()} vs $want")
+    // the sentinel conversation itself never reaches the sink
+    assert(!spark.read.parquet(outDir).collect()
+      .exists(_.getString(3) == IncrementalKg.FlushConvId))
+  }
+
+  test("turns beyond the watermark delay are DROPPED (late-data contract)") {
+    import spark.implicits._
+    val dict = smallDict
+    val schema = Seq(("x", 0, "y", mkTs(0)))
+      .toDF("conv_id", "turn_idx", "text", "ts").schema
+    val srcDir = Files.createTempDirectory("late-src").toString
+    def writeFile(rows: (String, Int, String, java.sql.Timestamp)*): Unit = {
+      rows.toSeq.toDF("conv_id", "turn_idx", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(1200)
+    }
+    writeFile(("c1", 0, "we saw paris today", mkTs(0)))
+    // two sentinel batches push the watermark ~an hour ahead AND give the
+    // late filter (which lags the watermark by one batch) time to engage
+    IncrementalKg.writeFlushSentinels(spark, srcDir, schema, "paris",
+      afterTsMillis = mkTs(3600).getTime, watermarkDelayMillis = 1000L)
+    // then a turn a full hour older than the watermark arrives: Spark's
+    // late-data filter removes it BEFORE flatMapGroupsWithState — it is
+    // dropped, never walked at arrival position (ADVICE r04: this pins the
+    // standard contract the scaladoc states)
+    writeFile(("c1", 1, "borders berlin today", mkTs(10)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val outDir = Files.createTempDirectory("late-out").toString
+    val q = IncrementalKg.statefulTriplesStream(stream, dict, outDir, "kglate",
+      Files.createTempDirectory("late-ck").toString, watermarkDelay = "1 second")
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+    spark.streams.resetTerminated()
+    // had the late turn been walked at arrival it would have emitted
+    // (Q90, P47, Q64, c1, 1) — seeded by turn 0's focus
+    val got = spark.read.parquet(outDir).collect().map(_.toString).toSet
+    assert(!got.exists(_.contains("c1,1")),
+      s"late turn must be dropped, not walked at arrival: $got")
+  }
+
+  test("idle-TTL expires drained conversation state (focus lost by contract)") {
+    import spark.implicits._
+    val dict = smallDict
+    val schema = Seq(("x", 0, "y", mkTs(0)))
+      .toDF("conv_id", "turn_idx", "text", "ts").schema
+    // c1 turn 0 sets focus Q90 and drains; watermark-driver turns in conv
+    // "w" then advance event time far past the 5 s TTL; c1 turn 1 arrives
+    // after the gap and needs the carried focus to emit its triple
+    def corpusFiles = Seq(
+      Seq(("c1", 0, "we saw paris today", mkTs(0)), ("w", 0, "paris", mkTs(30))),
+      Seq(("w", 1, "paris", mkTs(60))),
+      Seq(("w", 2, "paris", mkTs(120))),
+      Seq(("c1", 1, "borders berlin today", mkTs(130))),
+      Seq(("w", 3, "paris", mkTs(200))),
+      Seq(("w", 4, "paris", mkTs(260))))
+    def run(ttlMs: Long): Set[String] = {
+      val srcDir = Files.createTempDirectory(s"ttl-src$ttlMs").toString
+      corpusFiles.foreach { rows =>
+        rows.toDF("conv_id", "turn_idx", "text", "ts")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        Thread.sleep(1200)
+      }
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val outDir = Files.createTempDirectory(s"ttl-out$ttlMs").toString
+      val q = IncrementalKg.statefulTriplesStream(stream, dict, outDir,
+        s"kgttl$ttlMs", Files.createTempDirectory(s"ttl-ck$ttlMs").toString,
+        watermarkDelay = "1 second", idleTtlMs = ttlMs)
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+      spark.streams.resetTerminated()
+      spark.read.parquet(outDir).collect().map(_.toString).toSet
+    }
+    val seeded = run(ttlMs = 3600000L) // TTL far beyond the gap: state kept
+    assert(seeded.exists(s => s.contains("Q90,P47,Q64") && s.contains("c1,1")),
+      s"without expiry the carried focus seeds the triple: $seeded")
+    val expired = run(ttlMs = 5000L) // 5s TTL ≪ the 60s idle gap: state dropped
+    assert(!expired.exists(_.contains("c1,1")),
+      s"expired focus must not seed the triple: $expired")
+  }
+
   test("watermarked windowed mention rates run on a stream") {
     val nEnts = 100L
     val ents = Synth.entityDump(spark, nEnts)
