@@ -125,8 +125,13 @@ object EntityIndexBuilder {
     val uniq = uniqueAliases(entities)
 
     val wLabel = Window.partitionBy(col("label"))
+    // desc/types are consumed by withInfo and never read again — dropping
+    // them keeps the cache narrow; aliases stay because E5's candidate set
+    // derives from this cache (re-deriving it from `withInf` would run the
+    // type-resolution join a second time on the non-ignoreTypes path)
     val cand = withOverride(
       withInf.withColumn("grp_n", count(lit(1)).over(wLabel)), uniq, "label", cfg)
+      .drop("desc", "types")
       .persist()
 
     // ---- E1: unique plain labels (kg-entities.rs:186-196) ----
@@ -147,14 +152,20 @@ object EntityIndexBuilder {
 
     // ---- E3/E4: per-(label,info) group resolution (kg-entities.rs:224-268) ----
     // representative of each group: highest count, ties → LAST input row
-    // (Rust stable sort + pop, kg-entities.rs:249-251).
-    val wGroup = Window.partitionBy(col("label"), col("info"))
-    val wGroupOrd = wGroup.orderBy(col("count").desc, col("seq").desc)
+    // (Rust stable sort + pop, kg-entities.rs:249-251). (count, seq) pairs
+    // are unique within a group (seq is the unique input position), so the
+    // top-1 under (count desc, seq desc) is exactly the lexicographic
+    // max_by — ONE hash aggregate replaces the round-4 g_size/g_max window
+    // + sort + row_number chain (two full window sorts over every E2 row;
+    // profiled as the build's hottest stages at sf0.1).
     val groups0 = e2
-      .withColumn("g_size", count(lit(1)).over(wGroup))
-      .withColumn("g_max", max(col("count")).over(wGroup))
-      .withColumn("rn", row_number().over(wGroupOrd))
-      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("info"))
+      .agg(count(lit(1)).as("g_size"), max(col("count")).as("g_max"),
+        max_by(struct(col("qid"), col("count"), col("override")),
+          struct(col("count"), col("seq"))).as("rep"))
+      .select(col("label"), col("info"), col("g_size"), col("g_max"),
+        col("rep.qid").as("qid"), col("rep.count").as("count"),
+        col("rep.override").as("override"))
     // !keepMostCommonNonUnique: multi-entity groups are dropped entirely
     // (only counted as ents_left stats in the reference).
     val groups =
@@ -170,10 +181,16 @@ object EntityIndexBuilder {
       .partitionBy(col("label"))
       .orderBy(col("g_max").desc, col("g_size").asc, col("info").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted: FOUR consumers read this cascade (e3Plain + e34Info in the
+    // output union, takenPlain under E5's plain round, takenPair under the
+    // info round) — unpersisted it re-ran the two window sorts per consumer,
+    // the dominant cost of the whole build (profiled at sf0.1: the cascade
+    // stages held ~2/3 of executor time, ×3 evaluations)
     val e34 = groups
       .withColumn("eligible", !col("override"))
       .withColumn("cum_eligible", sum(when(col("eligible"), 1).otherwise(0)).over(wO1))
       .withColumn("is_plain", col("eligible") && col("cum_eligible") === 1)
+      .persist()
     val e3Plain = e34
       .filter(col("is_plain"))
       .select(col("label").as("surface"), lit(null: String).as("info"),
@@ -191,7 +208,7 @@ object EntityIndexBuilder {
     val takenPlain = e1.select(col("surface"))
       .union(e3Plain.select(col("surface")))
     val takenPair = e34Info.select(col("surface"), col("info"))
-    val aliasCand = withInf
+    val aliasCand = cand
       .select(col("qid"), col("count"), col("info"), explode(col("aliases")).as("alias"))
       .groupBy(col("qid"), col("alias"))
       .agg(first(col("count")).as("count"), first(col("info")).as("info"),
@@ -228,6 +245,6 @@ object EntityIndexBuilder {
         col("qid").as("id"), lit(AliasInfo).as("kind"))
 
     (e1.union(e3Plain).union(e34Info).union(e5Plain).union(e5Info),
-      Seq(cand, aliasCand, plainWinners))
+      Seq(cand, e34, aliasCand, plainWinners))
   }
 }

