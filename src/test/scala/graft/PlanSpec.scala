@@ -79,7 +79,7 @@ class PlanSpec extends AnyFunSuite {
     val mentions = (0 until 300).map { i =>
       val conv = s"c${i % 3}"
       (conv, i / 10, i % 5, i % 5 + 1, if (i % 4 == 0) s"P${i % 7}" else s"Q${i % 11}",
-        i % 4 == 0, 1.0 + i % 3, s"base${i % 11}")
+        i % 4 == 0, 1.0 + i % 3, s"base${i % 7}")
     }.toDF("conv_id", "turn_idx", "span_start", "span_end", "id", "is_prop",
       "score", "base")
     val out = java.nio.file.Files.createTempDirectory("plan-bucketed").toString
@@ -110,6 +110,24 @@ class PlanSpec extends AnyFunSuite {
     val corefPlan = executedPlan(coref).split("== Initial Plan ==")(0)
     assert(!corefPlan.contains("Exchange"),
       s"conv-clustered agg over bucketed scan must not shuffle:\n$corefPlan")
+
+    // 2b) the ACTUAL co-reference edge builder (windowed per-(conv, base)
+    //     min, r5): over the bucketed scan its only Exchange is the final
+    //     edge-set distinct — the window itself is exchange-free
+    val emptyReds = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("redirects",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val edges = graft.pipeline.KgPipeline.coreferenceEdges(bucketed, emptyReds)
+    val edgesPlan = executedPlan(edges).split("== Initial Plan ==")(0)
+    val nEx = edgesPlan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(nEx == 1,
+      s"bucketed co-ref edges: only the distinct may exchange (got $nEx):\n$edgesPlan")
+    assert(edges.count() > 0, "co-ref premise: multi-id base groups exist")
 
     // 3) resume re-registers and reads the same bucketed table
     val (again, resumed1) = store.runStageBucketed("mentions", "fp-b1",
