@@ -86,11 +86,15 @@ object EntityIndexBuilder {
       .select(col("qid").as("a_qid"), col("count").as("a_count"),
         explode(col("aliases")).as("a_surface"))
       .groupBy(col("a_surface"))
+      // only n ≤ 1 groups survive, so `first` IS the (single) holder —
+      // deterministic for every kept row, and a declarative aggregate the
+      // planner runs as a codegen'd HashAggregate (the round-4 max-of-
+      // struct forced a SortAggregate: two extra sorts on the alias key)
       .agg(count(lit(1)).as("a_n"),
-        max(struct(col("a_qid"), col("a_count"))).as("holder"))
+        first(col("a_qid")).as("h_qid"), first(col("a_count")).as("h_count"))
       .filter(col("a_n") <= 1)
-      .select(col("a_surface"), col("holder.a_qid").as("a_qid"),
-        col("holder.a_count").as("a_count"))
+      .select(col("a_surface"), col("h_qid").as("a_qid"),
+        col("h_count").as("a_count"))
 
   /** J3 (`kg-entities.rs:158-175`): `check_for_more_popular_alias(label, ent)`
     * — true iff some OTHER entity holds `surfaceCol` as a globally-unique
