@@ -316,10 +316,12 @@ object KgPipeline {
       SaltedAgg.linkScores(mentions, saltN, maxIdDegree)
     }
     val triples = timed("triples", Seq("mentions"), Nil) {
-      // over the bucketed mentions table the relational-grouping walk plans
-      // with zero Exchange (the write already co-located conversations)
-      if (buckets > 0) Triples.extractBucketed(mentions)
-      else Triples.extractFast(mentions)
+      // relational-grouping walk on BOTH paths (r5): over the bucketed
+      // mentions table it plans with zero Exchange (the write already
+      // co-located conversations), and on unbucketed input its UnsafeRow
+      // exchange measured ~25% faster than the typed groupByKey shape
+      // (24.1→19.5 s at 2 threads, 7.3→5.2 at 8, on 30M mentions)
+      Triples.extractBucketed(mentions)
     }
     val canon = timed("canonical_map", Seq("mentions"), Nil) {
       Canonicalize.connectedComponents(
