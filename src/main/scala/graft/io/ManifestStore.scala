@@ -319,4 +319,42 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
         s"snapshot $snapshotId has no stage '$stage'"))
     spark.read.parquet(dataPathFor(stage, dir))
   }
+
+  /** Garbage-collect retired stage versions: keep the newest
+    * `keepSnapshots` snapshot files, then delete every `data-*` version
+    * dir referenced by NEITHER a kept snapshot NOR a live stage manifest
+    * (the legacy unversioned `data` dir is never touched). Retention is
+    * the caller's policy — nothing expires implicitly; a reader pinned to
+    * a KEPT snapshot is unaffected by construction.
+    *
+    * @return (snapshot files deleted, version dirs deleted)
+    */
+  def gcSnapshots(keepSnapshots: Int): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    require(keepSnapshots >= 0)
+    val all = listSnapshots()
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepSnapshots))
+    drop.foreach(id => Files.deleteIfExists(snapshotsDir.resolve(s"$id.json")))
+    val base = Paths.get(baseDir)
+    if (!Files.exists(base)) return (drop.size, 0)
+    val stages = Files.list(base).iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_MANIFEST.json")))
+      .map(_.getFileName.toString).toSeq
+    var removedDirs = 0
+    stages.foreach { st =>
+      val referenced =
+        dataDirOf(st).toSet ++ keep.flatMap(id => snapshotDataDirOf(id, st))
+      Files.list(base.resolve(st)).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("data-") &&
+          !referenced.contains(p.getFileName.toString))
+        .toSeq // materialize before mutating the directory stream's source
+        .foreach { dir =>
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          removedDirs += 1
+        }
+    }
+    (drop.size, removedDirs)
+  }
 }

@@ -250,6 +250,17 @@ class PipelineE2ESpec extends AnyFunSuite {
       "rerun must land in a NEW versioned dir")
     // unknown stage → explicit error
     intercept[IllegalArgumentException] { store.snapshotTable(s1, "nope") }
+
+    // GC: keep only the newest snapshot → v1's dir and snapshot file go,
+    // the live version and the kept snapshot stay readable
+    commit("fp-v3", Seq((4L, "four")))
+    val s3 = store.commitSnapshot()
+    val (snapsGone, dirsGone) = store.gcSnapshots(keepSnapshots = 1)
+    assert(snapsGone == 2 && dirsGone == 2,
+      s"expected 2 snapshots + 2 version dirs collected: ($snapsGone, $dirsGone)")
+    assert(store.listSnapshots() == Seq(s3))
+    assert(store.snapshotTable(s3, "st").collect().map(_.getLong(0)).toSet == Set(4L))
+    intercept[Exception] { store.snapshotTable(s1, "st").collect() }
   }
 
   test("pipeline run returns a committed snapshot id covering every stage") {
