@@ -13,7 +13,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * read back instead of recomputed). A real Iceberg catalog can replace this
   * behind the same `runStage` seam; the sandbox ships no Iceberg runtime jar.
   */
-final class ManifestStore(spark: SparkSession, baseDir: String) {
+/** @param exactDegreeRows stages above this row count estimate the
+  *                        [[maxDegree]] column stat from a 1% sample
+  *                        instead of an exact group-count (the default
+  *                        matches production; tests inject a small bound
+  *                        to exercise the sampled path)
+  */
+final class ManifestStore(spark: SparkSession, baseDir: String,
+    exactDegreeRows: Long = 10000000L) {
+
+  // binary-compatible 2-arg constructor (the pre-r5 public shape)
+  def this(spark: SparkSession, baseDir: String) =
+    this(spark, baseDir, 10000000L)
 
   private def manifestPath(stage: String): Path = Paths.get(baseDir, stage, "_MANIFEST.json")
 
@@ -82,14 +93,9 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
     "\"max_degree\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
   }
 
-  /** Stages above this row count estimate the degree stat from a 1% sample
-    * instead of an exact group-count (see [[maxDegree]]).
-    */
-  val ExactDegreeRows: Long = 10000000L
-
   /** Max rows-per-key of `c` over the written stage — an Iceberg-style
     * column stat computed post-write from a column-pruned scan of the
-    * committed files. Exact up to [[ExactDegreeRows]]; above it a 1%
+    * committed files. Exact up to `exactDegreeRows`; above it a 1%
     * Bernoulli sample scales up: a head key of degree d surfaces ~d/100
     * sampled rows, so degrees near the salt gates' thresholds (~10^6) are
     * estimated within a few percent while light keys vanish — exactly the
@@ -99,12 +105,12 @@ final class ManifestStore(spark: SparkSession, baseDir: String) {
   private def maxDegree(df: DataFrame, c: String, rows: Long): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val keyed =
-      if (rows <= ExactDegreeRows) df.select(col(c))
+      if (rows <= exactDegreeRows) df.select(col(c))
       else df.select(col(c)).sample(withReplacement = false, 0.01, seed = 42L)
     val r = keyed.groupBy(col(c)).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).collect()(0)
     val m = if (r.isNullAt(0)) 0L else r.getLong(0)
-    if (rows <= ExactDegreeRows) m else m * 100L
+    if (rows <= exactDegreeRows) m else m * 100L
   }
 
   /** Run (or resume) a stage. `fingerprint` must deterministically describe

@@ -220,6 +220,21 @@ class PipelineE2ESpec extends AnyFunSuite {
     // absent when not requested
     store.runStage("nodeg", "fp-nodeg")(df)
     assert(store.maxDegreeOf("nodeg").isEmpty)
+
+    // the SAMPLED path (stage rows above the injected exact bound): a
+    // 50k-degree head key surfaces ~500 sampled rows, so the ×100
+    // scale-up estimates it within a few percent — wide assertion bounds
+    // cover sampling variance at the fixed seed
+    val big = spark.range(100000L)
+      .selectExpr("CASE WHEN id < 50000 THEN 'HEAD' ELSE concat('q', id) END AS id",
+        "id AS v")
+    val sStore = new graft.io.ManifestStore(spark,
+      Files.createTempDirectory("graft-degree-s").toString,
+      exactDegreeRows = 1000L)
+    sStore.runStage("deg", "fp-deg-s", Nil, degreeOf = Some("id"))(big)
+    val est = sStore.maxDegreeOf("deg").get
+    assert(est >= 35000L && est <= 65000L,
+      s"sampled head-degree estimate must land near 50k: $est")
   }
 
   test("snapshot isolation: a reader pinned to a snapshot survives a rerun") {
