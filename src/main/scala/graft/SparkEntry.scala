@@ -60,6 +60,11 @@ object SparkEntry {
       "lang_id" -> (O.langId _),
       "token_counts" -> (O.tokenCounts _),
       "doc_fingerprint" -> (O.docFingerprint _),
+      "rep_signals" -> (O.repSignals _),
+      "chunk_windows" -> (O.chunkWindows _),
+      "pii_scrub" -> (O.piiScrub _),
+      "domain_mix" -> (O.domainMix _),
+      "decontam_overlap" -> (O.decontamOverlap _),
       "multimodal_meta" -> (O.multimodalMeta _),
       "multimodal_features" -> (O.multimodalFeatures _),
       "multimodal_bmp" -> (O.multimodalBmp _),

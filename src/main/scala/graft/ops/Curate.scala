@@ -22,10 +22,19 @@ object Curate {
     * corpus is re-curated with new data around it (the property that keeps
     * eval sets uncontaminated across corpus versions). Thresholds are
     * basis points of 10000 (e.g. 9000/500 → 90% train, 5% val, 5% test).
+    *
+    * The affine mix wraps mod the LARGE prime 1e9+7 before the bucket mod:
+    * the poly hash of a short id is a small smooth integer, and an affine
+    * form taken straight mod 10000 keeps only `multiplier mod 10000` of the
+    * mixing (1000003 ≡ 3 — integer ids then land 98/2/0 instead of 90/5/5).
+    * The intermediate mod-P wrap with a multiplier ≫ P/max(fp) restores a
+    * near-uniform bucket distribution in any 64-bit engine.
     */
   def splitCol(id: Column, trainBp: Int, valBp: Int): Column = {
     val h = pmod(
-      TextAnalysis.fingerprint(id.cast("string")) * 1000003L + 12345L,
+      pmod(
+        TextAnalysis.fingerprint(id.cast("string")) * 1103515245L + 12345L,
+        lit(1000000007L)),
       lit(10000L))
     when(h < trainBp, "train")
       .when(h < trainBp + valBp, "val")
@@ -66,4 +75,37 @@ object Curate {
     scored.join(dupes, Seq(idCol), "left_anti")
       .withColumn("split", splitCol(col(idCol), trainBp, valBp))
   }
+
+  /** Deterministic per-domain sampling rate (basis points of 10000) and
+    * keep decision — the domain-mixing step that reweights a corpus
+    * (downsample web crawl, keep books/reference at full rate) without
+    * `rand()`: the keep decision is a content hash of the id, so a document
+    * keeps or drops identically under recompute and across engines. The
+    * hash mixer differs from [[splitCol]]'s so sampling is independent of
+    * split assignment.
+    *
+    * Scale shape: per-row hash + CASE — a map stage, no shuffle.
+    *
+    * @param rates (domain → rate in basis points); domains not listed get
+    *              `defaultBp`
+    */
+  def domainTag(df: DataFrame, idCol: String, domainCol: String,
+      rates: Seq[(String, Int)], defaultBp: Int): DataFrame = {
+    val rateCol = rates.foldRight(lit(defaultBp): Column) {
+      case ((domain, bp), acc) => when(col(domainCol) === domain, lit(bp)).otherwise(acc)
+    }
+    val h = pmod(
+      pmod(
+        TextAnalysis.fingerprint(col(idCol).cast("string")) * 747796405L + 2891336453L,
+        lit(1000000007L)),
+      lit(10000L))
+    df.withColumn("rate_bp", rateCol.cast("long"))
+      .withColumn("keep", h < col("rate_bp"))
+  }
+
+  /** The rows [[domainTag]] keeps, with the tag columns dropped. */
+  def domainSample(df: DataFrame, idCol: String, domainCol: String,
+      rates: Seq[(String, Int)], defaultBp: Int): DataFrame =
+    domainTag(df, idCol, domainCol, rates, defaultBp)
+      .filter(col("keep")).drop("rate_bp", "keep")
 }

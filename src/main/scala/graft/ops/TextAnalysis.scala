@@ -90,4 +90,84 @@ object TextAnalysis {
 
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+
+  /** Repetition signals for quality filtering (the Gopher-family repetition
+    * rules, Rae et al. '21 §A1.1: duplicate-token fraction, most-common
+    * unigram fraction, most-common bigram fraction — here token-based and
+    * integer per-mille so any SQL engine reproduces them exactly).
+    *
+    * Scale shape: every signal is a per-row higher-order array expression —
+    * NO shuffle, NO explode; the whole operator is a map stage that fuses
+    * into whole-stage codegen. The per-row cost is O(distinct × tokens),
+    * bounded by document length, which is exactly how a single-node
+    * pipeline would compute it — Spark adds only partitioning.
+    */
+  def repSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val base = df.select(col(idCol), t.as("toks"))
+      .select(col(idCol), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val topUni = array_max(transform(array_distinct(col("toks")),
+      d => size(filter(col("toks"), x => x === d))))
+    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1)))
+    val topBi = array_max(transform(array_distinct(bigrams),
+      d => size(filter(bigrams, x => x === d))))
+    base
+      .withColumn("top_unigram",
+        when(col("n_tokens") === 0, 0L).otherwise(topUni.cast("long")))
+      .withColumn("top_bigram",
+        when(col("n_tokens") < 2, 0L).otherwise(topBi.cast("long")))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(n_tokens - n_distinct) * 1000 div n_tokens"))
+          .as("dup_token_milli"),
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("top_unigram * 1000 div n_tokens")).as("top_unigram_milli"),
+        when(col("n_tokens") < 2, 0L)
+          .otherwise(expr("top_bigram * 2000 div n_tokens")).as("top_bigram_milli"))
+  }
+
+  /** Repetition filter over [[repSignals]]: keep documents whose repetition
+    * signals sit under the given per-mille thresholds (defaults tuned for
+    * natural text; pass-through of the signal columns for auditability).
+    */
+  def repetitionFilter(df: DataFrame, idCol: String, textCol: String,
+      maxDupTokenMilli: Int = 900, maxTopUnigramMilli: Int = 300,
+      maxTopBigramMilli: Int = 400): DataFrame =
+    repSignals(df, idCol, textCol)
+      .withColumn("keep",
+        col("dup_token_milli") <= maxDupTokenMilli &&
+          col("top_unigram_milli") <= maxTopUnigramMilli &&
+          col("top_bigram_milli") <= maxTopBigramMilli)
+
+  /** Fixed-size token-window chunking with stride — the sequence-prep step
+    * that turns documents into training-length windows (overlapping when
+    * stride < window). One output row per window: its index, token count
+    * and the engine-portable fingerprint of the window text (so the exact
+    * window CONTENT, not just its shape, is oracle-checked).
+    *
+    * Scale shape: per-row explode of ceil(n/stride) window indices — output
+    * is a constant factor of the input, partitioning is preserved (no
+    * shuffle), and the window slice is a per-row array op.
+    */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, stride: Int = 12): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val t = toks(col(textCol))
+    val withToks = df.select(col(idCol), t.as("toks"), size(t).as("n"))
+    // sequence(a, b) with b < a generates a DESCENDING range in Spark, so
+    // the empty-document case must short-circuit to an empty array
+    val idxs = when(col("n") > 0,
+      sequence(lit(0), floor((col("n") - 1) / stride).cast("int"))
+    ).otherwise(array().cast("array<int>"))
+    withToks
+      .select(col(idCol), col("toks"), explode(idxs).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(window)).as("chunk"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        fingerprint(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+  }
 }

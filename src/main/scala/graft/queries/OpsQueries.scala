@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curate, Decontam, Dedup, Multimodal, Scrub, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables. Hash-free formulations carry DuckDB oracles; hash-based LSH /
@@ -79,6 +79,63 @@ object OpsQueries {
 
   def docFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(tbl(s, d, "documents"), "doc_id", "text")
+
+  /** Gopher-style repetition quality signals + keep flag (thresholds chosen
+    * so the synthetic corpus splits both ways).
+    */
+  def repSignals(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionFilter(tbl(s, d, "documents"), "doc_id", "text",
+      maxDupTokenMilli = 900, maxTopUnigramMilli = 120, maxTopBigramMilli = 400)
+      .withColumn("keep", col("keep").cast("long"))
+
+  /** Token-window chunking: 16-token windows, stride 12 (overlap 4) —
+    * window CONTENT pinned via per-chunk fingerprint.
+    */
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenWindows(tbl(s, d, "documents"), "doc_id", "text",
+      window = 16, stride = 12)
+
+  /** PII scrub over documents with deterministically injected PII (the
+    * synthetic corpus has none, so the query plants an email, an IP and a
+    * phone per document from doc_id — mirrored verbatim in the oracle —
+    * and the redaction does real work; redacted bytes pinned by
+    * fingerprint).
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = tbl(s, d, "documents").withColumn("pii_text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" call "), (pmod(col("doc_id"), lit(900)) + 100).cast("string"),
+        lit("-"), (pmod(col("doc_id"), lit(9000)) + 1000).cast("string")))
+    Scrub.piiAudit(planted, "doc_id", "pii_text")
+  }
+
+  /** Deterministic domain-mix sampling: per-source basis-point rates, keep
+    * decision by content hash (never rand()); per-domain totals compared.
+    */
+  def domainMix(s: SparkSession, d: String): DataFrame =
+    Curate.domainTag(tbl(s, d, "documents"), "doc_id", "source",
+        rates = Seq("src0" -> 10000, "src1" -> 7500, "src2" -> 2500, "src3" -> 0),
+        defaultBp = 5000)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+
+  /** Train/eval decontamination: the content-hash split's test documents
+    * are the eval set; training documents sharing any 5-gram shingle with
+    * them are flagged with their contamination ratio.
+    */
+  def decontamOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(s, d, "documents")
+      .withColumn("split", Curate.splitCol(col("doc_id"), 9000, 500))
+    Decontam.overlap(
+      docs.filter(col("split") === "train"),
+      docs.filter(col("split") === "test"),
+      "doc_id", "text", n = 5, maxEvalDf = 1000L)
+  }
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.attach(tbl(s, d, "documents"), "doc_id", "text")

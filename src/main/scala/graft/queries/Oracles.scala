@@ -328,6 +328,134 @@ object Oracles {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents""".stripMargin,
 
+    // Gopher-family repetition signals: duplicate-token, top-unigram and
+    // top-bigram fractions in integer per-mille + the keep decision
+    "rep_signals" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CASE WHEN len(toks) = 0 THEN 0 ELSE
+        |      CAST(list_max(list_transform(list_distinct(toks),
+        |        d -> len(list_filter(toks, x -> x = d)))) AS BIGINT) END AS top_unigram,
+        |    CASE WHEN len(toks) < 2 THEN 0 ELSE
+        |      CAST(list_max(list_transform(
+        |        list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])),
+        |        d -> len(list_filter(
+        |          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+        |          x -> x = d)))) AS BIGINT) END AS top_bigram
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CASE WHEN n_tokens = 0 THEN 0 ELSE (n_tokens - n_distinct) * 1000 // n_tokens END AS dup_token_milli,
+        |  CASE WHEN n_tokens = 0 THEN 0 ELSE top_unigram * 1000 // n_tokens END AS top_unigram_milli,
+        |  CASE WHEN n_tokens < 2 THEN 0 ELSE top_bigram * 2000 // n_tokens END AS top_bigram_milli,
+        |  CAST(CASE WHEN (CASE WHEN n_tokens = 0 THEN 0 ELSE (n_tokens - n_distinct) * 1000 // n_tokens END) <= 900
+        |        AND (CASE WHEN n_tokens = 0 THEN 0 ELSE top_unigram * 1000 // n_tokens END) <= 120
+        |        AND (CASE WHEN n_tokens < 2 THEN 0 ELSE top_bigram * 2000 // n_tokens END) <= 400
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM s""".stripMargin,
+
+    // fixed-size token windows (16 tokens, stride 12); window content pinned
+    // by the engine-portable rolling-hash fingerprint of the joined window
+    "chunk_windows" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx, toks[i*12+1 : i*12+16] AS chunk
+        |  FROM t, unnest(range(0, CASE WHEN len(toks) = 0 THEN 0 ELSE (len(toks)-1)//12 + 1 END)) AS u(i))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(array_to_string(chunk, ' '), ''), ch -> ch <> ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp
+        |FROM c""".stripMargin,
+
+    // PII scrub: plant an email, an IPv4 and a phone per document from
+    // doc_id (the synthetic corpus carries none), count matches on the
+    // planted text, then redact email -> ip -> phone; the redacted bytes
+    // are pinned by fingerprint
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |      || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS pii
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(pii, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(pii, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |    CAST(len(regexp_extract_all(pii, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(pii, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+        |        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_ipv4, n_phones,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_filter(string_split(redacted, ''), ch -> ch <> ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS redacted_fp
+        |FROM r""".stripMargin,
+
+    // deterministic domain-mix sampling: per-source basis-point rates,
+    // keep = content hash of the id under the rate threshold
+    "domain_mix" ->
+      """SELECT source, count(*) AS n_total,
+        |  CAST(SUM(CASE WHEN
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+        |         c -> CAST(ascii(c) AS BIGINT))),
+        |       (acc, x) -> (acc * 31 + x) % 1000000007) * 747796405 + 2891336453) % 1000000007) % 10000 <
+        |    CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+        |                WHEN 'src2' THEN 2500 WHEN 'src3' THEN 0 ELSE 5000 END
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // train/eval decontamination: content-hash split -> 5-gram shingle
+    // hashes on both sides (df-capped on the eval side) -> inverted join ->
+    // per-train-doc shared-shingle counts + contamination per-mille
+    "decontam_overlap" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN h < 9000 THEN 'train' WHEN h < 9500 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |          ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |             (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345) % 1000000007) % 10000 AS h
+        |        FROM documents)),
+        |trt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM sp WHERE split = 'train'),
+        |tet AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM sp WHERE split = 'test'),
+        |trsh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(array_to_string(toks[i : i+4], ' '), ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        |  FROM trt, unnest(range(1, len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |tesh AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(array_to_string(toks[i : i+4], ' '), ''), c -> c <> ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS sh
+        |  FROM tet, unnest(range(1, len(toks) - 3)) AS u(i)
+        |  WHERE len(toks) >= 5),
+        |esh AS (SELECT sh FROM tesh GROUP BY sh HAVING count(*) <= 1000),
+        |perdoc AS (SELECT id, count(*) AS n_shingles FROM trsh GROUP BY id),
+        |shared AS (
+        |  SELECT id, count(*) AS n_shared FROM trsh
+        |  WHERE sh IN (SELECT sh FROM esh) GROUP BY id)
+        |SELECT s.id AS doc_id, p.n_shingles, s.n_shared,
+        |       s.n_shared * 1000 // p.n_shingles AS contam_milli
+        |FROM shared s JOIN perdoc p ON s.id = p.id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes
@@ -511,10 +639,10 @@ object Oracles {
         |SELECT k.doc_id, k.quality_milli,
         |  CASE WHEN k.h < 9000 THEN 'train' WHEN k.h < 9500 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, quality_milli,
-        |        (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        ((list_reduce(list_prepend(CAST(0 AS BIGINT),
         |           list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
         |             c -> CAST(ascii(c) AS BIGINT))),
-        |           (acc, x) -> (acc * 31 + x) % 1000000007) * 1000003 + 12345) % 10000 AS h
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345) % 1000000007) % 10000 AS h
         |      FROM kept) k
         |WHERE k.doc_id NOT IN (SELECT doc_id FROM dupes)""".stripMargin,
 

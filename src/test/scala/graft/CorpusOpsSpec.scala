@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curate, Decontam, Scrub, TextAnalysis}
+
+/** Unit checks for the round-5 corpus-prep ops (repetition signals, token
+  * windows, PII scrub, domain-mix sampling, train/eval decontamination) on
+  * hand-computed inputs; their corpus-scale behavior is oracle-checked via
+  * the driver queries (`rep_signals`, `chunk_windows`, `pii_scrub`,
+  * `domain_mix`, `decontam_overlap`).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("repSignals: hand-computed repetition fractions") {
+    // "a a a b": 4 tokens, 2 distinct, top unigram 'a'×3, top bigram "a a"×2 of 3
+    val out = TextAnalysis.repSignals(docs(1L -> "a a a b"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") == 4L)
+    assert(out.getAs[Long]("n_distinct") == 2L)
+    assert(out.getAs[Long]("dup_token_milli") == 500L) // (4-2)*1000/4
+    assert(out.getAs[Long]("top_unigram_milli") == 750L) // 3*1000/4
+    assert(out.getAs[Long]("top_bigram_milli") == 1000L) // 2*2000/4
+  }
+
+  test("repSignals: empty and single-token documents do not divide by zero") {
+    val out = TextAnalysis.repSignals(docs(1L -> "", 2L -> "only"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 0L)
+    assert(out(0).getAs[Long]("dup_token_milli") == 0L)
+    assert(out(1).getAs[Long]("n_tokens") == 1L)
+    assert(out(1).getAs[Long]("top_bigram_milli") == 0L)
+  }
+
+  test("repetitionFilter: keeps natural text, drops degenerate repetition") {
+    val out = TextAnalysis.repetitionFilter(
+        docs(1L -> "the quick brown fox jumps over the lazy dog",
+             2L -> "spam spam spam spam spam spam spam spam"),
+        "doc_id", "text")
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) && !out(2L))
+  }
+
+  test("tokenWindows: window content, stride overlap, tail and empty doc") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.tokenWindows(docs(1L -> text, 2L -> ""), "doc_id", "text",
+        window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: ceil(20/12) = 2 windows — [w1..w16] and [w13..w20]; doc 2: none
+    assert(out.length == 2 && out.forall(_.getLong(0) == 1L))
+    assert(out(0).getAs[Long]("chunk_tokens") == 16L)
+    assert(out(1).getAs[Long]("chunk_tokens") == 8L)
+    val expFp0 = spark.range(1).select(
+      TextAnalysis.fingerprint(lit((1 to 16).map(i => s"w$i").mkString(" ")))).collect()(0).getLong(0)
+    val expFp1 = spark.range(1).select(
+      TextAnalysis.fingerprint(lit((13 to 20).map(i => s"w$i").mkString(" ")))).collect()(0).getLong(0)
+    assert(out(0).getAs[Long]("chunk_fp") == expFp0)
+    assert(out(1).getAs[Long]("chunk_fp") == expFp1)
+  }
+
+  test("scrub: counts and redacted bytes on planted PII") {
+    val out = Scrub.pii(
+        docs(1L -> "mail bob.smith@corp.example.org or 192.168.0.1 or 555-1234 end",
+             2L -> "clean text with numbers 12 and 3.14 only"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 1L)
+    assert(out(0).getAs[Long]("n_ipv4") == 1L)
+    assert(out(0).getAs[Long]("n_phones") == 1L)
+    assert(out(0).getAs[String]("redacted") == "mail <EMAIL> or <IP> or <PHONE> end")
+    assert(out(1).getAs[Long]("n_emails") == 0L)
+    assert(out(1).getAs[String]("redacted") == "clean text with numbers 12 and 3.14 only")
+  }
+
+  test("scrub: fixed redaction order — email absorbs its embedded IP first") {
+    // the email's host CONTAINS a dotted quad; email redacts first so the
+    // quad never survives to the ip pass (any other order would emit a@<IP>…)
+    val out = Scrub.pii(docs(1L -> "x user@10.0.0.1.example.com y"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[String]("redacted") == "x <EMAIL> y")
+    assert(out.getAs[Long]("n_ipv4") == 1L) // counting sees it; order resolves it
+  }
+
+  test("domainTag: rate 0 keeps nothing, rate 10000 keeps everything, deterministic") {
+    val df = docs((0L until 200L).map(i => i -> s"doc $i"): _*)
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(4))))
+    val tagged = Curate.domainTag(df, "doc_id", "source",
+      rates = Seq("src0" -> 10000, "src1" -> 0), defaultBp = 5000)
+    val bySrc = tagged.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySrc("src0") == ((50L, 50L)))
+    assert(bySrc("src1") == ((50L, 0L)))
+    val mid = bySrc("src2")._2 + bySrc("src3")._2
+    assert(mid > 20L && mid < 80L, s"~50% expected of 100 at 5000bp, got $mid")
+    val again = Curate.domainSample(df, "doc_id", "source",
+      rates = Seq("src0" -> 10000, "src1" -> 0), defaultBp = 5000).count()
+    assert(again == 50L + mid)
+  }
+
+  test("splitCol: mixed-wrap hash reaches all three splits at small id counts") {
+    val df = docs((0L until 500L).map(i => i -> "t"): _*)
+      .withColumn("split", Curate.splitCol(col("doc_id"), 9000, 500))
+    val dist = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the pre-fix affine form (×1000003 straight mod 10000) degenerates to
+    // ×3 on small integer ids and yields a 98/2/0 split — no test rows at all
+    assert(dist.getOrElse("test", 0L) > 0L, s"test split empty: $dist")
+    assert(dist.getOrElse("val", 0L) > 0L)
+    assert(dist("train") > 350L && dist("train") < 490L, s"train share off: $dist")
+  }
+
+  test("decontam: shared shingles flagged, df cap drops boilerplate") {
+    val evalSet = docs(
+      100L -> "the secret benchmark answer is forty two exactly",
+      101L -> "common header common header common header common header")
+    val corpus = docs(
+      1L -> "leaked copy the secret benchmark answer is forty two exactly end",
+      2L -> "totally unrelated words about weather patterns in spring time",
+      3L -> "common header common header common header common header trailer")
+    val out = Decontam.overlap(corpus, evalSet, "doc_id", "text", n = 5, maxEvalDf = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(out.contains(1L) && out(1L) >= 4L, s"leaked doc not flagged: $out")
+    assert(!out.contains(2L))
+    assert(out.contains(3L))
+    // cap at 0 drops every eval shingle -> nothing flagged
+    val capped = Decontam.overlap(corpus, evalSet, "doc_id", "text", n = 5, maxEvalDf = 0L)
+    assert(capped.count() == 0L)
+  }
+
+  test("decontam: contam_milli is shared/total per-mille of the train doc") {
+    val evalSet = docs(100L -> "one two three four five")
+    val corpus = docs(1L -> "one two three four five six seven eight nine")
+    // train doc: 5 shingles of 5-grams over 9 tokens; exactly 1 shared
+    val out = Decontam.overlap(corpus, evalSet, "doc_id", "text", n = 5).collect().head
+    assert(out.getAs[Long]("n_shingles") == 5L)
+    assert(out.getAs[Long]("n_shared") == 1L)
+    assert(out.getAs[Long]("contam_milli") == 200L)
+  }
+}
