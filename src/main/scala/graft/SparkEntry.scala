@@ -65,6 +65,8 @@ object SparkEntry {
       "pii_scrub" -> (O.piiScrub _),
       "domain_mix" -> (O.domainMix _),
       "decontam_overlap" -> (O.decontamOverlap _),
+      "embed_kmeans" -> (O.embedKmeans _),
+      "semantic_dedup" -> (O.semanticDedup _),
       "multimodal_meta" -> (O.multimodalMeta _),
       "multimodal_features" -> (O.multimodalFeatures _),
       "multimodal_bmp" -> (O.multimodalBmp _),

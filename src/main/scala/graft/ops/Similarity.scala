@@ -98,17 +98,19 @@ object Similarity {
     * @param nCentroids 0 → ceil(sqrt(N)) (the standard IVF sizing)
     * @return (vec_id, neighbor_id, rank), same shape as [[bruteForceTopK]]
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 0, nProbe: Int = 2, lloydRounds: Int = 2,
-      quantScale: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
-    val v = quantized(df, idCol, vecCol, quantScale).persist()
-    val nVec = v.count()
-    val nc = if (nCentroids > 0) nCentroids else math.ceil(math.sqrt(nVec.toDouble)).toInt
-    // deterministic portable seeding: first nc vectors in polynomial-hash
-    // order of the id's STRING form — works for any id type (the round-2
-    // cast("long") silently nulled non-numeric ids and degraded the seed
-    // order to a plain sort, ADVICE r02)
+  /** Deterministic hash-seeded spherical-k-means training over a persisted
+    * quantized vector set: seeds the first `nc` vectors in polynomial-hash
+    * order of the id's STRING form (works for any id type — the round-2
+    * cast("long") silently nulled non-numeric ids and degraded the seed
+    * order to a plain sort, ADVICE r02), runs `lloydRounds` Lloyd rounds,
+    * and returns the trained assignment function
+    * `maxRank → (id, q, n2, cid)`. Centroids live on the driver between
+    * rounds (√N-ish rows — the coarse-codebook contract). Shared by
+    * [[ivfTopK]], [[kmeansClusters]] and [[semanticDedup]] so all three are
+    * reproduced by the SAME oracle training CTEs.
+    */
+  private def lloydAssign(v: DataFrame, nc: Int, lloydRounds: Int): Int => DataFrame = {
+    val spark = v.sparkSession
     val seedOrd = pmod(
       graft.ops.TextAnalysis.fingerprint(col("id").cast("string")) * 1000003L + 12345L,
       lit(1000000007L))
@@ -153,6 +155,16 @@ object Similarity {
         (cid, arr)
       }.sortBy(_._1)
     }
+    assign
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 0, nProbe: Int = 2, lloydRounds: Int = 2,
+      quantScale: Int = 1000): DataFrame = {
+    val v = quantized(df, idCol, vecCol, quantScale).persist()
+    val nVec = v.count()
+    val nc = if (nCentroids > 0) nCentroids else math.ceil(math.sqrt(nVec.toDouble)).toInt
+    val assign = lloydAssign(v, nc, lloydRounds)
 
     val probed = assign(nProbe)
     val cands = probed.as("a").join(probed.as("b"),
@@ -223,5 +235,66 @@ object Similarity {
           lit(thresholdPct.toDouble * thresholdPct) *
             col("x.n2").cast("double") * col("y.n2").cast("double"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
+  }
+
+  /** Trained k-means cluster assignment over an embedding column — the
+    * corpus-structure step (domain discovery, stratified sampling, and the
+    * coarse partitioner for [[semanticDedup]]). Same deterministic training
+    * as [[ivfTopK]] (hash-ordered seeding, truncated-mean Lloyd rounds), so
+    * the same oracle CTEs reproduce it.
+    *
+    * @param nClusters 0 → ceil(sqrt(N)); at corpus scale pass an explicit
+    *                  count sized so N/nClusters rows fit a partition
+    * @return (idCol, cluster)
+    */
+  def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 0, lloydRounds: Int = 2, quantScale: Int = 1000): DataFrame = {
+    val v = quantized(df, idCol, vecCol, quantScale).persist()
+    val nVec = v.count()
+    val nc = if (nClusters > 0) nClusters else math.ceil(math.sqrt(nVec.toDouble)).toInt
+    val out = lloydAssign(v, nc, lloydRounds)(1)
+      .select(col("id").as(idCol), col("cid").as("cluster"))
+    v.unpersist(blocking = false)
+    out
+  }
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic deduplication
+    * by exact cosine comparison WITHIN trained k-means clusters — the
+    * embedding-space analogue of MinHash dedup for paraphrased/templated
+    * near-copies that share no n-grams. A document is dropped when a
+    * smaller-id document in its cluster has cosine ≥ thresholdPct/100 (the
+    * deterministic min-id-keeper variant of the paper's one-per-group rule;
+    * same greedy the exact-dedup family uses). The threshold comparison is
+    * the same fixed IEEE-double expression tree as [[embeddingNearDups]].
+    *
+    * Scale shape: the pair join is cluster-local — k² only WITHIN a
+    * cluster, so `nClusters` is the safety valve (the paper uses ~100k
+    * clusters at web scale precisely so buckets stay small); cross-cluster
+    * pairs are never generated. Training cost is [[ivfTopK]]'s.
+    *
+    * @return (idCol, cluster, keep) — keep ∈ {0, 1}, one row per input
+    *         vector with nonzero norm
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      thresholdPct: Int, nClusters: Int = 0, lloydRounds: Int = 2,
+      quantScale: Int = 1000): DataFrame = {
+    val v = quantized(df, idCol, vecCol, quantScale).persist()
+    val nVec = v.count()
+    val nc = if (nClusters > 0) nClusters else math.ceil(math.sqrt(nVec.toDouble)).toInt
+    val a = lloydAssign(v, nc, lloydRounds)(1)
+    val dropped = a.as("x").join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .withColumn("dot", qdot(col("x.q"), col("y.q")))
+      .filter(col("dot") >= 0 &&
+        col("dot").cast("double") * col("dot").cast("double") * lit(10000.0) >=
+          lit(thresholdPct.toDouble * thresholdPct) *
+            col("x.n2").cast("double") * col("y.n2").cast("double"))
+      .select(col("y.id").as("id")).distinct()
+    val out = a.select(col("id"), col("cid"))
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid").as("cluster"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+    v.unpersist(blocking = false)
+    out
   }
 }

@@ -195,4 +195,21 @@ object OpsQueries {
       tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0),
       "vec_id", "embedding", thresholdPct = 15, nPlanes = 4)
       .select(col("a"), col("b"))
+
+  /** Trained k-means corpus clustering (same training as the IVF index —
+    * the oracle reproduces seeding + both Lloyd rounds step-for-step).
+    */
+  def embedKmeans(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansClusters(
+      tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0),
+      "vec_id", "embedding")
+
+  /** SemDeDup: exact-cosine near-dups within trained k-means clusters;
+    * min-id keeper. Threshold chosen so the synthetic embeddings split
+    * both ways.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(
+      tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0),
+      "vec_id", "embedding", thresholdPct = 30)
 }

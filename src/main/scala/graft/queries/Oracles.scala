@@ -8,7 +8,92 @@ package graft.queries
   */
 object Oracles {
 
+  /** Shared k-means training CTEs over the `vec_id % mod = 0` embedding
+    * subset — mirrors `Similarity.lloydAssign` step-for-step (hash-ordered
+    * seeding, 2 truncated-mean Lloyd rounds), ending in the nearest-1
+    * assignment `fin(vec_id, cid, …)` and `fa` (assignment joined back to
+    * the quantized vectors). Appended to by `embed_kmeans` and
+    * `semantic_dedup`; `ann_ivf_topk` keeps its historical inline copy
+    * (different subset + a probe>1 tail).
+    */
+  private def kmeansCtes(mod: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings WHERE vec_id % $mod = 0),
+       |n0 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS n2
+       |       FROM v),
+       |n AS (SELECT * FROM n0 WHERE n2 > 0),
+       |k AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS nc FROM n),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY
+       |           (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(list_filter(string_split(CAST(vec_id AS VARCHAR), ''), c -> c <> ''),
+       |                c -> CAST(ascii(c) AS BIGINT))),
+       |              (acc, x) -> (acc * 31 + x) % 1000000007) * 1000003 + 12345) % 1000000007,
+       |           vec_id) AS cid,
+       |         q AS s
+       |  FROM n QUALIFY cid <= (SELECT nc FROM k)),
+       |cn0 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c0),
+       |a1 AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(CAST(list_sum(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c.s[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(c.s2 AS DOUBLE)) DESC, cid ASC) AS rn
+       |  FROM n JOIN cn0 c ON c.s2 > 0 QUALIFY rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(sm ORDER BY i) AS s FROM (
+       |    SELECT a1.cid, t.i, CAST(sum(n.q[t.i]) // count(*) AS BIGINT) AS sm
+       |    FROM a1 JOIN n USING (vec_id), unnest(range(1, len(n.q)+1)) AS t(i)
+       |    GROUP BY a1.cid, t.i)
+       |  GROUP BY cid),
+       |cn1 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c1),
+       |a2 AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(CAST(list_sum(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c.s[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(c.s2 AS DOUBLE)) DESC, cid ASC) AS rn
+       |  FROM n JOIN cn1 c ON c.s2 > 0 QUALIFY rn = 1),
+       |c2 AS (
+       |  SELECT cid, list(sm ORDER BY i) AS s FROM (
+       |    SELECT a2.cid, t.i, CAST(sum(n.q[t.i]) // count(*) AS BIGINT) AS sm
+       |    FROM a2 JOIN n USING (vec_id), unnest(range(1, len(n.q)+1)) AS t(i)
+       |    GROUP BY a2.cid, t.i)
+       |  GROUP BY cid),
+       |cn2 AS (SELECT cid, s, CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2 FROM c2),
+       |fin AS (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    CAST(CAST(list_sum(list_transform(range(1, len(n.q)+1), i -> n.q[i]*c.s[i])) AS BIGINT) AS DOUBLE)
+       |      / sqrt(CAST(n.n2 AS DOUBLE) * CAST(c.s2 AS DOUBLE)) DESC, cid ASC) AS rn
+       |  FROM n JOIN cn2 c ON c.s2 > 0 QUALIFY rn = 1),
+       |fa AS (SELECT fin.vec_id, fin.cid, n.q, n.n2 FROM fin JOIN n USING (vec_id))""".stripMargin
+
   val all: Map[String, String] = Map(
+
+    // trained k-means corpus clustering: identical training to the IVF
+    // index (seeding + 2 truncated-mean Lloyd rounds), nearest-1 output
+    "embed_kmeans" ->
+      (kmeansCtes(5) +
+        "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM fin"),
+
+    // SemDeDup: exact-cosine near-dup pairs WITHIN trained k-means
+    // clusters; a vector is dropped when a smaller-id cluster-mate sits
+    // above the cosine threshold (fixed IEEE-double comparison, identical
+    // expression tree in Spark and here)
+    "semantic_dedup" ->
+      (kmeansCtes(5) +
+        """,
+          |pr AS (
+          |  SELECT y.vec_id AS b_id,
+          |    CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT) AS d,
+          |    x.n2 AS na2, y.n2 AS nb2
+          |  FROM fa x JOIN fa y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+          |drp AS (
+          |  SELECT DISTINCT b_id AS vec_id FROM pr
+          |  WHERE d >= 0 AND CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 10000.0 >=
+          |    900.0 * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+          |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster,
+          |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM fin f LEFT JOIN drp d USING (vec_id)""".stripMargin),
+
     "a1_group_label" ->
       """SELECT p_name AS surface, count(*) AS n_ents, min(p_partkey) AS min_id
         |FROM part GROUP BY p_name""".stripMargin,

@@ -471,4 +471,45 @@ class OpsSpec extends AnyFunSuite {
     // ((0*31+97)%p *31 + 98)%p *31 + 99 = 97*961 + 98*31 + 99
     assert(fp(1L) == 97L * 31 * 31 + 98L * 31 + 99L)
   }
+
+  test("kmeans clusters: total assignment, bounded cluster count, deterministic") {
+    val out = Similarity.kmeansClusters(vecs10x, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 600, "every nonzero-norm vector gets exactly one cluster")
+    val nClusters = out.values.toSet.size
+    assert(nClusters > 1 && nClusters <= 25, // ceil(sqrt(600)) = 25 seeds
+      s"trained cluster count $nClusters out of [2, 25]")
+    val again = Similarity.kmeansClusters(vecs10x, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out, "training must be deterministic under recompute")
+  }
+
+  test("semantic dedup == exact within-cluster cosine recomputation") {
+    val pct = 40
+    val got = Similarity.semanticDedup(vecs10x, "vec_id", "embedding", thresholdPct = pct)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // same deterministic training → identical assignment; recompute the
+    // min-id-keeper rule exactly (same quantization, same IEEE comparison)
+    val cluster = Similarity.kmeansClusters(vecs10x, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qv = vecs10x.collect().map { r =>
+      val q = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray
+      r.getLong(0) -> q
+    }.toMap
+    def n2(q: Array[Long]) = q.map(x => x * x).sum
+    val expectDrop = (for {
+      (b, qb) <- qv.toSeq; (a, qa) <- qv.toSeq
+      if a < b && cluster(a) == cluster(b)
+      d = qa.zip(qb).map { case (x, y) => x * y }.sum
+      if d >= 0 && d.toDouble * d.toDouble * 10000.0 >=
+        (pct.toDouble * pct) * n2(qa).toDouble * n2(qb).toDouble
+    } yield b).toSet
+    assert(got.size == 600)
+    assert(expectDrop.nonEmpty && expectDrop.size < 600,
+      s"premise: threshold $pct must split the planted clusters both ways (${expectDrop.size})")
+    for ((id, (cid, keep)) <- got) {
+      assert(cid == cluster(id), s"cluster mismatch for $id")
+      assert((keep == 0L) == expectDrop(id), s"keep mismatch for $id (keep=$keep)")
+    }
+  }
 }

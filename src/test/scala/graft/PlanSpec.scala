@@ -146,4 +146,47 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"small anti-join sides should broadcast under AQE:\n$plan")
   }
+
+  test("corpus-prep per-row ops are shuffle-free map stages over a pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-corpus").toString
+    import spark.implicits._
+    (0L until 200L).map(i => (i, s"alpha beta gamma delta tok$i", s"src${i % 4}", i * 3))
+      .toDF("doc_id", "text", "source", "unused_num")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    // one exchange would turn a 100-TB map pass into a 100-TB shuffle — the
+    // whole point of these ops is that they cost one scan
+    for ((name, df) <- Seq(
+        "repSignals" -> graft.ops.TextAnalysis.repSignals(docs, "doc_id", "text"),
+        "tokenWindows" -> graft.ops.TextAnalysis.tokenWindows(docs, "doc_id", "text"),
+        "scrub" -> graft.ops.Scrub.piiAudit(docs, "doc_id", "text"),
+        "domainTag" -> graft.ops.Curate.domainTag(docs, "doc_id", "source",
+          rates = Seq("src0" -> 10000), defaultBp = 5000))) {
+      val plan = executedPlan(df).split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+    }
+    // and the scan reads only the referenced columns
+    val rsPlan = executedPlan(
+      graft.ops.TextAnalysis.repSignals(docs, "doc_id", "text"))
+    assert(rsPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"repSignals scan must read ONLY (doc_id, text):\n$rsPlan")
+  }
+
+  test("decontam joins corpus shingles against a BROADCAST eval side") {
+    import spark.implicits._
+    // eval sets are benchmarks — thousands of docs against a 100-TB corpus;
+    // the capped eval shingle set must broadcast, never shuffle the corpus
+    // side by shingle hash
+    val corpus = (0L until 400L)
+      .map(i => (i, (0 until 12).map(j => s"w${(i * 7 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val evalDf = (1000L until 1010L)
+      .map(i => (i, (0 until 12).map(j => s"w${(i * 7 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = executedPlan(
+      graft.ops.Decontam.overlap(corpus, evalDf, "doc_id", "text", n = 5))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"eval shingles should reach the corpus as a broadcast semi join:\n$plan")
+  }
 }
