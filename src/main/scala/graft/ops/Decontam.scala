@@ -54,10 +54,14 @@ object Decontam {
     val evalShingles = evalIdx.groupBy("sh").agg(count(lit(1)).as("edf"))
       .filter(col("edf") <= maxEvalDf)
       .select("sh")
-    val perDoc = corpusIdx.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    corpusIdx.join(evalShingles, Seq("sh"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_shared"))
-      .join(perDoc, Seq("id"))
+    // ONE pass over the corpus shingles: mark hits with a broadcast left
+    // join, then count total + shared in the same aggregation (a semi join
+    // + a separate per-doc total would evaluate the corpus-side explode
+    // twice — 2× the dominant cost at corpus scale)
+    corpusIdx.join(evalShingles.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy("id").agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0)
       .select(col("id").as(idCol), col("n_shingles"), col("n_shared"),
         expr("n_shared * 1000 div n_shingles").as("contam_milli"))
   }

@@ -183,10 +183,15 @@ class PlanSpec extends AnyFunSuite {
     val evalDf = (1000L until 1010L)
       .map(i => (i, (0 until 12).map(j => s"w${(i * 7 + j) % 97}").mkString(" ")))
       .toDF("doc_id", "text")
-    val plan = executedPlan(
-      graft.ops.Decontam.overlap(corpus, evalDf, "doc_id", "text", n = 5))
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftSemi"),
-      s"eval shingles should reach the corpus as a broadcast semi join:\n$plan")
+    val df = graft.ops.Decontam.overlap(corpus, evalDf, "doc_id", "text", n = 5)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"eval shingles should reach the corpus as a broadcast hit-mark join:\n$plan")
+    // single-pass contract: the corpus shingle explode runs ONCE (one
+    // Generate per side) — the semi-join + separate-total shape evaluated
+    // the corpus explode twice
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val nGenerate = finalPlan.split("\n").count(_.contains("Generate explode"))
+    assert(nGenerate == 2, s"expected 2 Generate nodes (corpus + eval), got $nGenerate:\n$finalPlan")
   }
 }
