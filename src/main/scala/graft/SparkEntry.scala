@@ -67,6 +67,7 @@ object SparkEntry {
       "decontam_overlap" -> (O.decontamOverlap _),
       "embed_kmeans" -> (O.embedKmeans _),
       "semantic_dedup" -> (O.semanticDedup _),
+      "semantic_dedup_capped" -> (O.semanticDedupCapped _),
       "multimodal_meta" -> (O.multimodalMeta _),
       "multimodal_features" -> (O.multimodalFeatures _),
       "multimodal_bmp" -> (O.multimodalBmp _),

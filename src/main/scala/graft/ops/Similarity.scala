@@ -268,21 +268,38 @@ object Similarity {
     * the same fixed IEEE-double expression tree as [[embeddingNearDups]].
     *
     * Scale shape: the pair join is cluster-local — k² only WITHIN a
-    * cluster, so `nClusters` is the safety valve (the paper uses ~100k
-    * clusters at web scale precisely so buckets stay small); cross-cluster
-    * pairs are never generated. Training cost is [[ivfTopK]]'s.
+    * cluster, so `nClusters` is the first safety valve (the paper uses
+    * ~100k clusters at web scale precisely so buckets stay small) and
+    * `maxCluster` is the second, ON BY DEFAULT: a degenerate cluster (viral
+    * boilerplate collapsing every copy onto one centroid) is excluded from
+    * the pair phase — its members stay assigned with keep=1 and the drop
+    * volume is logged — so one hot centroid can never go quadratic. The cap
+    * is exact `HAVING` SQL, reproduced by the `semantic_dedup_capped`
+    * oracle where it BINDS at verify scale. Cross-cluster pairs are never
+    * generated. Training cost is [[ivfTopK]]'s.
     *
+    * @param maxCluster clusters larger than this skip the pair phase
+    *                   (Long.MaxValue = explicit uncapped opt-in)
     * @return (idCol, cluster, keep) — keep ∈ {0, 1}, one row per input
     *         vector with nonzero norm
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       thresholdPct: Int, nClusters: Int = 0, lloydRounds: Int = 2,
-      quantScale: Int = 1000): DataFrame = {
+      quantScale: Int = 1000, maxCluster: Long = 10000L): DataFrame = {
     val v = quantized(df, idCol, vecCol, quantScale).persist()
     val nVec = v.count()
     val nc = if (nClusters > 0) nClusters else math.ceil(math.sqrt(nVec.toDouble)).toInt
-    val a = lloydAssign(v, nc, lloydRounds)(1)
-    val dropped = a.as("x").join(a.as("y"),
+    val a = lloydAssign(v, nc, lloydRounds)(1).persist()
+    if (maxCluster != Long.MaxValue) {
+      val (nOver, nRows) = Dedup.countOverfullBuckets(a, Seq("cid"), maxCluster)
+      if (nOver > 0)
+        log.info(s"semanticDedup: excluding $nOver overfull clusters " +
+          s"($nRows vectors) from the pair phase at maxCluster=$maxCluster")
+    }
+    val sized = a.withColumn("csize",
+      count(lit(1)).over(Window.partitionBy(col("cid"))))
+    val eligible = sized.filter(col("csize") <= maxCluster)
+    val dropped = eligible.as("x").join(eligible.as("y"),
         col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
       .withColumn("dot", qdot(col("x.q"), col("y.q")))
       .filter(col("dot") >= 0 &&
@@ -294,7 +311,10 @@ object Similarity {
       .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cid").as("cluster"),
         when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+    a.unpersist(blocking = false)
     v.unpersist(blocking = false)
     out
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity")
 }

@@ -212,4 +212,14 @@ object OpsQueries {
     Similarity.semanticDedup(
       tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0),
       "vec_id", "embedding", thresholdPct = 30)
+
+  /** SemDeDup with a BINDING `maxCluster` rail (15 excludes the largest
+    * trained cluster at verify scale): proves against the SQL oracle that
+    * overfull clusters skip the pair phase with members kept, exactly —
+    * the `dedup_minhash_capped` discipline applied to the semantic path.
+    */
+  def semanticDedupCapped(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(
+      tbl(s, d, "embeddings").filter(pmod(col("vec_id"), lit(5)) === 0),
+      "vec_id", "embedding", thresholdPct = 30, maxCluster = 15L)
 }

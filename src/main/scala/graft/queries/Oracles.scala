@@ -94,6 +94,28 @@ object Oracles {
           |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
           |FROM fin f LEFT JOIN drp d USING (vec_id)""".stripMargin),
 
+    // SemDeDup with the maxCluster=15 rail BINDING at verify scale: a
+    // cluster above the cap never enters the pair phase (its members all
+    // keep=1) — the cap is the plain HAVING-style size window below,
+    // byte-identical semantics to Similarity.semanticDedup(maxCluster=15)
+    "semantic_dedup_capped" ->
+      (kmeansCtes(5) +
+        """,
+          |csz AS (SELECT cid, count(*) AS n FROM fin GROUP BY cid),
+          |pr AS (
+          |  SELECT y.vec_id AS b_id,
+          |    CAST(list_sum(list_transform(range(1, len(x.q)+1), i -> x.q[i]*y.q[i])) AS BIGINT) AS d,
+          |    x.n2 AS na2, y.n2 AS nb2
+          |  FROM fa x JOIN fa y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          |  JOIN csz ON csz.cid = x.cid AND csz.n <= 15),
+          |drp AS (
+          |  SELECT DISTINCT b_id AS vec_id FROM pr
+          |  WHERE d >= 0 AND CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * 10000.0 >=
+          |    900.0 * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+          |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster,
+          |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM fin f LEFT JOIN drp d USING (vec_id)""".stripMargin),
+
     "a1_group_label" ->
       """SELECT p_name AS surface, count(*) AS n_ents, min(p_partkey) AS min_id
         |FROM part GROUP BY p_name""".stripMargin,

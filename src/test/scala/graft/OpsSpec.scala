@@ -512,4 +512,28 @@ class OpsSpec extends AnyFunSuite {
       assert((keep == 0L) == expectDrop(id), s"keep mismatch for $id (keep=$keep)")
     }
   }
+
+  test("semantic dedup maxCluster rail: overfull clusters skip the pair phase") {
+    // cap below every cluster's size -> no pair join anywhere, all keep=1,
+    // but assignment is untouched (members stay clustered)
+    val capped = Similarity.semanticDedup(vecs10x, "vec_id", "embedding",
+      thresholdPct = 40, maxCluster = 1L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val cluster = Similarity.kmeansClusters(vecs10x, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.size == 600)
+    assert(capped.values.forall(_._2 == 1L),
+      "every member of an overfull cluster must survive with keep=1")
+    for ((id, (cid, _)) <- capped)
+      assert(cid == cluster(id), s"cap must not disturb assignment for $id")
+    // explicit uncapped opt-in reproduces the default-parameter result
+    val unc = Similarity.semanticDedup(vecs10x, "vec_id", "embedding",
+      thresholdPct = 40, maxCluster = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val dflt = Similarity.semanticDedup(vecs10x, "vec_id", "embedding",
+      thresholdPct = 40)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(unc == dflt,
+      "default cap (10k) must be a no-op on small clusters == explicit uncapped")
+  }
 }
