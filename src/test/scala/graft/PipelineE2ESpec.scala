@@ -315,7 +315,9 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(r2.triples.collect().map(_.toString).sorted.sameElements(t1))
 
     // invalidate one mid-pipeline stage → only it recomputes, same rows
-    Files.delete(Paths.get(outDir, "triples", "_MANIFEST.json"))
+    // (via the store API: the numbered commit log is authoritative now, so
+    // deleting the _MANIFEST.json mirror alone would NOT invalidate)
+    new graft.io.ManifestStore(spark, outDir).invalidateStage("triples")
     val r3 = KgPipeline.run(spark, transcripts, entities, properties, redirects, outDir)
     val resumed3 = r3.metrics.select("stage", "resumed").collect()
       .map(r => r.getString(0) -> r.getBoolean(1)).toMap
@@ -377,5 +379,93 @@ class PipelineE2ESpec extends AnyFunSuite {
     KgPipeline.linkAndMaterialize(spark, transcripts, entities, redirects,
       dict, ei, pi, outDir, dictVersion = "dict-v2")
     assert(mentionsManifest() != m1, "new dictionary must invalidate mentions")
+  }
+
+  test("concurrent writers, same job: the loser adopts the winner's commit") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ccw-same").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    // deterministic interleave: writer B's compute runs writer A's ENTIRE
+    // runStage as a side effect, so A commits between B's version read and
+    // B's commit — the exact window optimistic concurrency must handle
+    var aResumed: Option[Boolean] = None
+    val (bDf, bResumed) = store.runStage("st", "fp-x") {
+      val (_, r) = store.runStage("st", "fp-x")(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      aResumed = Some(r)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    }
+    assert(aResumed.contains(false), "inner writer A must commit fresh")
+    assert(bResumed, "B lost the version race on its own fingerprint -> adopt")
+    assert(bDf.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(store.versionOf("st") == 1L, "one committed version, not two")
+    assert(store.fingerprintOf("st").contains("fp-x"))
+  }
+
+  test("concurrent writers, different jobs: the loser aborts with a conflict") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ccw-diff").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    val ex = intercept[graft.io.ConcurrentWriteException] {
+      store.runStage("st", "fp-b") {
+        store.runStage("st", "fp-a")(Seq((1L, "a")).toDF("k", "v"))
+        Seq((9L, "z")).toDF("k", "v")
+      }
+    }
+    assert(ex.getMessage.contains("fp-a") && ex.getMessage.contains("fp-b"))
+    // the winner's commit is intact; the loser's orphan dir is GC-able
+    assert(store.fingerprintOf("st").contains("fp-a"))
+    assert(store.versionOf("st") == 1L)
+    store.commitSnapshot()
+    val (_, dirsGone) = store.gcSnapshots(keepSnapshots = 1)
+    assert(dirsGone == 1, s"loser's orphan version dir collected: $dirsGone")
+    assert(spark.read.parquet(s"$out/st/${store.dataDirOf("st").get}")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("schema evolution: additive commit ok, old snapshots read under the live schema") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-evolve").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    store.runStage("st", "fp-v1")(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val snap1 = store.commitSnapshot()
+    assert(store.schemaOf("st").exists(_.fieldNames.sameElements(Array("k", "v"))))
+    // additive recommit: one new NULLABLE column
+    store.runStage("st", "fp-v2")(
+      Seq((3L, "c")).toDF("k", "v").withColumn("w", lit(null).cast("string")))
+    assert(store.versionOf("st") == 2L)
+    assert(store.schemaOf("st").exists(_.fieldNames.sameElements(Array("k", "v", "w"))))
+    // the pinned PRE-evolution snapshot evolves to the live schema: w nulls
+    val evolved = store.snapshotTable(snap1, "st", evolveToCurrent = true)
+    assert(evolved.schema.fieldNames.sameElements(Array("k", "v", "w")))
+    assert(evolved.count() == 2 && evolved.filter(col("w").isNull).count() == 2)
+    // raw pinned read unchanged; version time travel reaches both commits
+    assert(store.snapshotTable(snap1, "st", evolveToCurrent = false)
+      .schema.fieldNames.sameElements(Array("k", "v")))
+    assert(store.tableAsOfVersion("st", 1L).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(store.tableAsOfVersion("st", 2L).collect().map(_.getLong(0)).toSet == Set(3L))
+    intercept[IllegalArgumentException] { store.tableAsOfVersion("st", 3L) }
+  }
+
+  test("schema evolution: drops, retypes and non-nullable adds are refused") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-evolve-bad").toString
+    val store = new graft.io.ManifestStore(spark, out)
+    store.runStage("st", "fp-v1")(Seq((1L, "a")).toDF("k", "v"))
+    val dropped = intercept[graft.io.SchemaEvolutionException] {
+      store.runStage("st", "fp-drop")(Seq(Tuple1(2L)).toDF("k"))
+    }
+    assert(dropped.getMessage.contains("'v' dropped"))
+    val retyped = intercept[graft.io.SchemaEvolutionException] {
+      store.runStage("st", "fp-retype")(Seq((2L, 5L)).toDF("k", "v"))
+    }
+    assert(retyped.getMessage.contains("retyped"))
+    val nonNull = intercept[graft.io.SchemaEvolutionException] {
+      store.runStage("st", "fp-nn")(
+        Seq((2L, "b")).toDF("k", "v").withColumn("w", lit(7L)))
+    }
+    assert(nonNull.getMessage.contains("must be nullable"))
+    // failed commits consume no version and leave no visible data
+    assert(store.versionOf("st") == 1L)
+    assert(store.fingerprintOf("st").contains("fp-v1"))
   }
 }
