@@ -42,6 +42,34 @@ object Synth {
   def entLabel(i: Column): Column =
     concat(pick(adjectives, i * 7 + 3), lit(" "), pick(nouns, i * 11 + 1))
 
+  /** Exact integer division of a long Column (no double rounding). */
+  private def idiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))) / lit(d)).cast("long")
+
+  /** Rich-vocabulary label (r5): a 4-token adjective–noun–adjective–noun
+    * composition. The trailing pair indexes on `i div 37` / `i div 29` —
+    * NOT another affine map of i, which would stay a function of the same
+    * residues and collapse back onto 1,073 strings — so by CRT the 4-token
+    * label is injective in i up to 37²·29² ≈ 1.15M and label cardinality
+    * scales with n. At 10^6 entities the 2-token vocab funnels base-surface
+    * co-reference into ~1,073 giant components (great skew stress,
+    * unrealistic shape — FIXTURES.md); this variant gives the REALISTIC
+    * regime: unique labels below ~1.15M entities, component sizes driven by
+    * actual cross-conversation entity reuse. Opt-in via the `richLabels`
+    * flags — the cascade tests keep the 2-token hazard rates.
+    */
+  def entLabelRich(i: Column): Column =
+    concat(pick(adjectives, i * 7 + 3), lit(" "), pick(nouns, i * 11 + 1),
+      lit(" "), pick(adjectives, idiv(i, 37) * 13 + 5),
+      lit(" "), pick(nouns, idiv(i, 29) * 19 + 2))
+
+  /** The label function the `richLabels` flag selects. Dump and transcripts
+    * MUST agree (same flag value) or transcript surfaces stop matching the
+    * dictionary; both default to the 2-token hazard vocab.
+    */
+  private def labelFn(richLabels: Boolean): Column => Column =
+    if (richLabels) entLabelRich else entLabel
+
   def propLabel(i: Column): Column =
     concat(pick(verbs, i * 5 + 2),
       when(pmod(i, lit(4)) === 0, concat(lit(" "), pick(fillers, i * 3))).otherwise(lit("")))
@@ -56,11 +84,12 @@ object Synth {
     * popular-alias override, `kg-entities.rs:158-175`), 1/4 carry a unique
     * alias, first n/50 ids serve as type entities (J2).
     */
-  def entityDump(spark: SparkSession, n: Long): DataFrame = {
+  def entityDump(spark: SparkSession, n: Long, richLabels: Boolean = false): DataFrame = {
+    val lbl = labelFn(richLabels)
     val t = math.max(1L, n / 50)
     spark.range(n)
       .withColumn("qid", concat(lit("Q"), col("id") + 1))
-      .withColumn("label", entLabel(col("id")))
+      .withColumn("label", lbl(col("id")))
       .withColumn("desc",
         when(pmod(col("id"), lit(10)) === 9, lit(""))
           .otherwise(concat(lit("kind-"), pmod(col("id"), lit(7)))))
@@ -71,7 +100,7 @@ object Synth {
       .withColumn("aliases",
         filter(
           array(
-            when(pmod(col("id"), lit(3)) === 0, entLabel(pmod(col("id") * 5 + 1, lit(n)))),
+            when(pmod(col("id"), lit(3)) === 0, lbl(pmod(col("id") * 5 + 1, lit(n)))),
             when(pmod(col("id"), lit(4)) === 0, concat(lit("codename "), col("qid")))),
           x => x.isNotNull))
       .withColumn("seq", col("id"))
@@ -115,7 +144,8 @@ object Synth {
     */
   def transcripts(
       spark: SparkSession, convs: Long, turnsPerConv: Int,
-      nEnts: Long, mProps: Long): DataFrame = {
+      nEnts: Long, mProps: Long, richLabels: Boolean = false): DataFrame = {
+    val lbl = labelFn(richLabels)
     val base = spark.range(convs * turnsPerConv)
       .withColumn("conv", expr(s"id div $turnsPerConv"))
       .withColumn("turn_idx", pmod(col("id"), lit(turnsPerConv.toLong)).cast("int"))
@@ -129,9 +159,9 @@ object Synth {
           (pmod(col("turn_idx"), lit(3)) + 1).cast("int")))
       .withColumn("text", concat_ws(" ",
         pick(fillers, col("conv") + col("turn_idx")),
-        entLabel(a),
+        lbl(a),
         propLabel(p),
-        entLabel(b),
+        lbl(b),
         pick(fillers, col("conv") * 3 + col("turn_idx") * 5 + 1)))
       .withColumn("tool",
         when(col("role") === "tool",

@@ -229,4 +229,26 @@ class MentionTripleSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set(("apple (fruit)", "Q1", "apple"), ("apple (fruit2)", "Q3", "apple")))
   }
+
+  test("richLabels synth: near-unique labels still round-trip scan -> triples") {
+    val n = 2000L
+    // 2-token vocab collapses onto <= 1,073 labels at n=2000; the rich
+    // 4-token vocab must keep label cardinality near n (birthday-rate
+    // collisions only)
+    val rich = graft.synth.Synth.entityDump(spark, n, richLabels = true)
+    val flat = graft.synth.Synth.entityDump(spark, n)
+    val richDistinct = rich.select("label").distinct().count()
+    val flatDistinct = flat.select("label").distinct().count()
+    assert(flatDistinct <= 1073L)
+    assert(richDistinct > n * 9 / 10, s"rich labels collapsed: $richDistinct of $n")
+    // and the 4-token surfaces still match end-to-end: dictionary built from
+    // the rich dump finds the planted surfaces in rich transcripts (maxN=4)
+    val props = graft.synth.Synth.propertyDump(spark, 20)
+    val dict = graft.pipeline.KgPipeline.dictionary(
+      graft.index.EntityIndexBuilder.build(rich), rich,
+      graft.index.PropertyIndexBuilder.build(props), props)
+    val turns = graft.synth.Synth.transcripts(spark, 30, 6, n, 20, richLabels = true)
+    val triples = Triples.extractFast(Mentions.detectFast(turns, dict))
+    assert(triples.count() > 0)
+  }
 }
