@@ -22,25 +22,34 @@ import org.apache.spark.sql.functions._
 object Decontam {
 
   /** Array of poly-hashes of the document's word n-grams (empty when the
-    * document has fewer than n tokens).
+    * document has fewer than n tokens). One fused codegen pass
+    * ([[graft.functions.ShingleHashes]]); equivalence with the
+    * HOF formulation — and therefore with the DuckDB oracle that mirrors
+    * it — is property-tested in PolyHashSpec.
     */
-  def shingleHashes(textCol: Column, n: Int): Column = {
-    val toks = filter(split(textCol, "\\s+"), t => length(t) > 0)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => TextAnalysis.fingerprint(concat_ws(" ", slice(toks, i, lit(n)))))
-    ).otherwise(array().cast("array<long>"))
-  }
+  def shingleHashes(textCol: Column, n: Int): Column =
+    graft.functions.ShingleHashes.shingle_hashes(textCol, n)
 
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+  /** Per-doc DISTINCT shingle array — deduped LOCALLY via `array_distinct`
+    * on the already-arrayed shingles. The `explode(...).distinct()`
+    * alternative exchanges the full (id, shingle) volume — roughly one row
+    * per corpus token — which was the operator's dominant shuffle; a doc's
+    * shingles all live in its own row, so per-doc dedupe needs no exchange
+    * at all.
+    */
+  private def docShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol), n)).as("sh"))
-      .distinct()
+      array_distinct(shingleHashes(col(textCol), n)).as("arr"))
 
   /** Per-corpus-document contamination against `evalDf`: documents sharing
     * at least one (df-capped) eval shingle, with the shingle counts and the
     * contamination ratio in integer per-mille.
+    *
+    * Corpus-side plan: project shingle arrays → explode → broadcast left
+    * join → one hash aggregation. The only corpus exchange is the final
+    * groupBy, and since every doc's shingles sit in one input partition the
+    * map-side combine reduces it to ~one row per document before it moves.
     *
     * @param maxEvalDf drop eval shingles present in more than this many
     *                  eval documents (boilerplate cap — the exact-SQL
@@ -49,17 +58,25 @@ object Decontam {
     */
   def overlap(corpus: DataFrame, evalDf: DataFrame, idCol: String,
       textCol: String, n: Int = 5, maxEvalDf: Long = 1000L): DataFrame = {
-    val corpusIdx = shingleIndex(corpus, idCol, textCol, n)
-    val evalIdx = shingleIndex(evalDf, idCol, textCol, n)
-    val evalShingles = evalIdx.groupBy("sh").agg(count(lit(1)).as("edf"))
+    val evalShingles = docShingles(evalDf, idCol, textCol, n)
+      .select(explode(col("arr")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("edf"))
       .filter(col("edf") <= maxEvalDf)
       .select("sh")
     // ONE pass over the corpus shingles: mark hits with a broadcast left
     // join, then count total + shared in the same aggregation (a semi join
     // + a separate per-doc total would evaluate the corpus-side explode
-    // twice — 2× the dominant cost at corpus scale)
-    corpusIdx.join(evalShingles.withColumn("hit", lit(1L)), Seq("sh"), "left")
-      .groupBy("id").agg(count(lit(1)).as("n_shingles"),
+    // twice — 2× the dominant cost at corpus scale). The array is already
+    // per-doc DISTINCT, so count(*) per id IS n_shingles — do NOT project
+    // size(arr) beside the explode: CollapseProject inlines the array
+    // definition into both, and the projection above the resulting Generate
+    // re-evaluates the whole shingle computation per exploded row (measured
+    // 27× = shingles/doc at sf0.1).
+    docShingles(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("arr")).as("sh"))
+      .join(evalShingles.withColumn("hit", lit(1L)), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
       .filter(col("n_shared") > 0)
       .select(col("id").as(idCol), col("n_shingles"), col("n_shared"),

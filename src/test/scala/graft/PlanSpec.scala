@@ -193,5 +193,13 @@ class PlanSpec extends AnyFunSuite {
     val finalPlan = plan.split("== Initial Plan ==")(0)
     val nGenerate = finalPlan.split("\n").count(_.contains("Generate explode"))
     assert(nGenerate == 2, s"expected 2 Generate nodes (corpus + eval), got $nGenerate:\n$finalPlan")
+    // per-doc dedupe is array_distinct (local): the only hash exchanges are
+    // the eval df-cap aggregation and the final per-doc aggregation — an
+    // explode().distinct() corpus index would add a third carrying the full
+    // corpus (id, shingle) volume
+    val nExchange = finalPlan.split("\n")
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(nExchange <= 2,
+      s"expected <=2 hash exchanges (eval cap agg + final agg), got $nExchange:\n$finalPlan")
   }
 }

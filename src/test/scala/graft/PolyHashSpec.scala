@@ -55,6 +55,45 @@ class PolyHashSpec extends AnyFunSuite {
     })
   }
 
+  /** The HOF formulation the native ShingleHashes expression replaces (and
+    * the DuckDB decontamination oracle mirrors).
+    */
+  private def shingleBuiltin(textCol: org.apache.spark.sql.Column, n: Int) = {
+    val toks = filter(split(textCol, "\\s+"), t => length(t) > 0)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => TextAnalysis.fingerprint(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  test("shingle_hashes == HOF formulation (crafted + property sweep, n=1..6)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pool = "ab ghij KLM.;'öü🙂 \t"
+    val crafted = Seq("", "a", "one two three four five six",
+      "  leading and   multiple   spaces ", "tabs\tand\nnewlines mixed in",
+      "unicode żółć ñ 中文 🙂 tokens", "exactly five tokens right here")
+    val random = (1 to 150).map { _ =>
+      (0 until rnd.nextInt(80)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+    val df = (crafted ++ random).toDF("s")
+    for (n <- Seq(1, 2, 5, 6)) {
+      val rows = df.select(col("s"),
+        graft.functions.ShingleHashes.shingle_hashes(col("s"), n).as("native"),
+        shingleBuiltin(col("s"), n).as("builtin")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n mismatch on '${r.getString(0).take(40)}'")
+      }
+    }
+    // interpreted path (no codegen): direct eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.ShingleHashes(
+      Literal.create("one two three", org.apache.spark.sql.types.StringType), 2)
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(got.numElements() == 2)
+  }
+
   test("registered SQL function and interpreted path") {
     PolyHash.register(spark)
     val got = spark.sql("SELECT poly_hash('abc') AS h").collect().head.getLong(0)
