@@ -65,6 +65,7 @@ object SparkEntry {
       "pii_scrub" -> (O.piiScrub _),
       "domain_mix" -> (O.domainMix _),
       "decontam_overlap" -> (O.decontamOverlap _),
+      "pack_sequences" -> (O.packSequences _),
       "embed_kmeans" -> (O.embedKmeans _),
       "semantic_dedup" -> (O.semanticDedup _),
       "semantic_dedup_capped" -> (O.semanticDedupCapped _),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus curation — the end-to-end shape a training-data pipeline runs
@@ -108,4 +109,74 @@ object Curate {
       rates: Seq[(String, Int)], defaultBp: Int): DataFrame =
     domainTag(df, idCol, domainCol, rates, defaultBp)
       .filter(col("keep")).drop("rate_bp", "keep")
+
+  /** Sequence packing — the training-batch prep step that concatenates the
+    * corpus's whitespace-token stream in deterministic `idCol` order and
+    * splits it at fixed `budget`-token boundaries ("pack and split", the
+    * padding-free packing used for LLM pre-training batches): every packed
+    * sequence holds exactly `budget` tokens (the final one may be partial),
+    * documents straddling a boundary are split across two sequences, and
+    * nothing is padded. One output row per (document × sequence) piece:
+    *
+    * `(idCol, seq_id, doc_off, seq_off, piece_len)` — all BIGINT; a
+    * zero-token document contributes no pieces.
+    *
+    * Scale shape: the global token prefix-sum is computed as a TWO-LEVEL
+    * sum so no stage sorts the corpus through one partition — a naive
+    * `sum over (order by id)` window without `partitionBy` funnels every
+    * row through a single task, the exact shape that dies at 100 TB.
+    * Instead: (1) rows bucket by `idCol` value range into `nBuckets`
+    * ordered buckets; (2) per-bucket token subtotals (one hash aggregate,
+    * `nBuckets` rows) get an exclusive cumulative sum on the tiny bucket
+    * table (the only unpartitioned window, over ≤ `nBuckets` rows); (3) the
+    * bucket offsets broadcast-join back and a PER-BUCKET window (parallel
+    * across buckets) finishes the per-row prefix. The final explode emits
+    * the 1–2 sequences each document overlaps. All arithmetic is 64-bit
+    * integer (`div`, never floating `floor(x/y)` — exact past 2^53 tokens).
+    *
+    * The min/max bounds aggregate is a declared 2-value driver action.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, nBuckets: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val b =
+      if (nBuckets > 0) nBuckets
+      else df.sparkSession.sparkContext.defaultParallelism * 4
+    val base = df.select(
+      col(idCol).cast("long").as(idCol),
+      size(filter(split(col(textCol), " "), t => length(t) > 0))
+        .cast("long").as("n"))
+    val bounds = base.agg(min(col(idCol)), max(col(idCol))).head()
+    if (bounds.isNullAt(0))
+      return base.select(col(idCol), col("n").as("seq_id"),
+        col("n").as("doc_off"), col("n").as("seq_off"),
+        col("n").as("piece_len")).limit(0)
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / b + 1)
+    val withB = base.withColumn("bkt",
+      expr(s"(`$idCol` - ${lo}L) div ${width}L"))
+    val bucketOffsets = withB.groupBy("bkt").agg(sum("n").as("bn"))
+      .withColumn("boff", coalesce(
+        sum("bn").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    val start = withB
+      .withColumn("loff", coalesce(
+        sum("n").over(Window.partitionBy("bkt").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(bucketOffsets), Seq("bkt"))
+      .select(col(idCol), col("n"), (col("boff") + col("loff")).as("start"))
+    start.filter(col("n") > 0)
+      .select(col(idCol), col("n"), col("start"),
+        explode(sequence(
+          expr(s"start div ${budget}L"),
+          expr(s"(start + n - 1) div ${budget}L"))).as("seq_id"))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("start"), col("seq_id") * budget) - col("start"))
+          .as("doc_off"),
+        (greatest(col("start"), col("seq_id") * budget) - col("seq_id") * budget)
+          .as("seq_off"),
+        (least(col("start") + col("n"), (col("seq_id") + 1) * budget) -
+          greatest(col("start"), col("seq_id") * budget)).as("piece_len"))
+  }
 }

@@ -137,6 +137,14 @@ object OpsQueries {
       "doc_id", "text", n = 5, maxEvalDf = 1000L)
   }
 
+  /** Sequence packing at a 64-token budget: the deterministic pack-and-split
+    * training-batch prep. Piece geometry (doc_off/seq_off/piece_len) is
+    * integer-exact, so the two-level distributed prefix sum is checked
+    * against a plain SQL window prefix sum in the oracle.
+    */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    Curate.packSequences(tbl(s, d, "documents"), "doc_id", "text", budget = 64L)
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.attach(tbl(s, d, "documents"), "doc_id", "text")
       .select("media_id", "mime", "n_bytes")

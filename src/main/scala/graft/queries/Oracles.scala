@@ -563,6 +563,30 @@ object Oracles {
         |       s.n_shared * 1000 // p.n_shingles AS contam_milli
         |FROM shared s JOIN perdoc p ON s.id = p.id""".stripMargin,
 
+    // sequence packing: token counts -> exclusive prefix sum in doc_id
+    // order -> each document explodes into the 1..k budget-64 sequences it
+    // overlaps; the oracle's single-window prefix sum checks the engine's
+    // two-level (bucketed) distributed prefix sum exactly
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, n, strt, u.i AS seq_id
+        |  FROM s, unnest(range(strt // 64, (strt + n - 1) // 64 + 1)) AS u(i)
+        |  WHERE n > 0)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(strt, seq_id * 64) - strt AS BIGINT) AS doc_off,
+        |  CAST(GREATEST(strt, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_off,
+        |  CAST(LEAST(strt + n, (seq_id + 1) * 64) - GREATEST(strt, seq_id * 64) AS BIGINT) AS piece_len
+        |FROM e""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes

@@ -135,6 +135,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(capped.count() == 0L)
   }
 
+  test("packSequences: hand-computed piece geometry at budget 10") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // token counts 4, 0, 9, 12, 15 -> starts 0, -, 4, 13, 25; 40 tokens total
+    val out = Curate.packSequences(
+        docs(1L -> toks(4), 2L -> "", 3L -> toks(9), 4L -> toks(12), 5L -> toks(15)),
+        "doc_id", "text", budget = 10L)
+      .orderBy("doc_id", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 4L),              // doc 1 fits in seq 0 at offset 0
+      (3L, 0L, 0L, 4L, 6L), (3L, 1L, 6L, 0L, 3L),   // doc 3 straddles 0|1
+      (4L, 1L, 0L, 3L, 7L), (4L, 2L, 7L, 0L, 5L),   // doc 4 straddles 1|2
+      (5L, 2L, 0L, 5L, 5L), (5L, 3L, 5L, 0L, 10L))) // doc 5 ends exactly at 40
+  }
+
+  test("packSequences: invariants — full sequences, conserved tokens, bucket-count invariance") {
+    import spark.implicits._
+    // sparse non-contiguous ids not starting at 0, varied lengths incl. empties
+    val df = docs((0 until 300).map { i =>
+      (1000L + i * 7L) -> (if (i % 11 == 0) "" else (1 to (i % 37) + 1).map(j => s"w$j").mkString(" "))
+    }: _*)
+    val out = Curate.packSequences(df, "doc_id", "text", budget = 64L).cache()
+    val totalTokens = df.select(sum(size(filter(split(col("text"), " "),
+      t => length(t) > 0)))).as[Long].head()
+    assert(out.agg(sum("piece_len")).as[Long].head() == totalTokens)
+    // every sequence except the last holds exactly the budget
+    val perSeq = out.groupBy("seq_id").agg(sum("piece_len").as("n"))
+      .orderBy("seq_id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(perSeq.map(_._1).toSeq == (0L until perSeq.length).toSeq)
+    assert(perSeq.dropRight(1).forall(_._2 == 64L), s"non-full interior seq: ${perSeq.toSeq}")
+    assert(perSeq.last._2 <= 64L && perSeq.last._2 > 0L)
+    // piece geometry stays inside the sequence budget
+    assert(out.filter(col("seq_off") + col("piece_len") > 64L || col("piece_len") <= 0L).count() == 0L)
+    // the two-level prefix sum is independent of the bucket count
+    val one = Curate.packSequences(df, "doc_id", "text", budget = 64L, nBuckets = 1)
+    val many = Curate.packSequences(df, "doc_id", "text", budget = 64L, nBuckets = 17)
+    assert(one.except(out).count() == 0L && out.except(one).count() == 0L)
+    assert(many.except(out).count() == 0L && out.except(many).count() == 0L)
+    out.unpersist()
+  }
+
+  test("packSequences: empty input and all-empty documents yield no pieces") {
+    assert(Curate.packSequences(docs(), "doc_id", "text", budget = 8L).count() == 0L)
+    assert(Curate.packSequences(docs(1L -> "", 2L -> ""), "doc_id", "text",
+      budget = 8L).count() == 0L)
+  }
+
   test("decontam: contam_milli is shared/total per-mille of the train doc") {
     val evalSet = docs(100L -> "one two three four five")
     val corpus = docs(1L -> "one two three four five six seven eight nine")
