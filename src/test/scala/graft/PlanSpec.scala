@@ -172,6 +172,36 @@ class PlanSpec extends AnyFunSuite {
       s"repSignals scan must read ONLY (doc_id, text):\n$rsPlan")
   }
 
+  test("packSequences: corpus window is bucket-partitioned; only the subtotal window is global") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-pack").toString
+    (0L until 400L).map(i => (i, (0 to (i % 23).toInt).map(j => s"w$j").mkString(" "),
+        s"wide $i", i * 2))
+      .toDF("doc_id", "text", "unused_wide_col", "unused_num")
+      .write.mode("overwrite").parquet(dir)
+    val df = graft.ops.Curate.packSequences(
+      spark.read.parquet(dir), "doc_id", "text", budget = 64L, nBuckets = 16)
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    // column pruning: only (doc_id, text) leave the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"pack scan must read ONLY (doc_id, text):\n$plan")
+    // two-level prefix sum: the per-row window is PARTITIONED by bucket (the
+    // naive global `sum over (order by id)` would funnel the corpus through
+    // one task); the only unpartitioned window runs over the <=nBuckets
+    // subtotal rows coming out of the hash aggregate
+    val windows = plan.split("\n").filter(_.contains("Window ["))
+    assert(windows.length == 2, s"expected 2 Window nodes:\n${windows.mkString("\n")}")
+    val (partitioned, global) = windows.partition(
+      _.matches(""".*\], \[bkt#\d+L\], \[.*"""))
+    assert(partitioned.length == 1,
+      s"per-row window must partition by bkt:\n${windows.mkString("\n")}")
+    assert(global.head.contains("sum(bn"),
+      s"the global window may only consume bucket subtotals:\n${global.head}")
+    // bucket offsets rejoin the corpus as a broadcast, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back:\n$plan")
+  }
+
   test("decontam joins corpus shingles against a BROADCAST eval side") {
     import spark.implicits._
     // eval sets are benchmarks — thousands of docs against a 100-TB corpus;
