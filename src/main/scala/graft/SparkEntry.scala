@@ -66,6 +66,7 @@ object SparkEntry {
       "domain_mix" -> (O.domainMix _),
       "decontam_overlap" -> (O.decontamOverlap _),
       "pack_sequences" -> (O.packSequences _),
+      "shuffle_positions" -> (O.shufflePositions _),
       "embed_kmeans" -> (O.embedKmeans _),
       "semantic_dedup" -> (O.semanticDedup _),
       "semantic_dedup_capped" -> (O.semanticDedupCapped _),

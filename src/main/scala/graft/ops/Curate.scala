@@ -110,6 +110,55 @@ object Curate {
     domainTag(df, idCol, domainCol, rates, defaultBp)
       .filter(col("keep")).drop("rate_bp", "keep")
 
+  /** Deterministic global corpus shuffle — a seeded pseudo-random
+    * permutation of the corpus as dense positions `0..n-1`, the step a
+    * training pipeline runs before [[packSequences]] so batches don't
+    * replay the corpus's storage order. NEVER `rand()` or
+    * `repartition().mapPartitions` tricks: the permutation is a pure
+    * function of (id, seed), so it is stable under recompute, reruns,
+    * partial re-reads and engine changes. Order key is the content hash of
+    * `"id#seed"` times a large multiplier mod 1e9+7, id-tie-broken into a
+    * total order. The seed is hashed INTO the key, never added to it: an
+    * additive seed shifts every key equally and (absent mod wraparound)
+    * yields the SAME permutation for every seed; and the multiplier wrap is
+    * what breaks the poly hash's near-monotonicity on sequential decimal
+    * ids (same reasoning as [[splitCol]]).
+    *
+    * Output: `(idCol, shuffle_pos)`, both BIGINT; `shuffle_pos` is a
+    * permutation of `0..n-1`.
+    *
+    * Scale shape: same two-level rank as [[packSequences]], but the hash
+    * domain is statically `[0, 1e9+7)`, so bucket bounds need NO driver
+    * action: rows bucket by hash range, per-bucket counts get the exclusive
+    * prefix on the ≤`nBuckets`-row subtotal table, and a PER-BUCKET
+    * `row_number` (parallel) finishes the rank. No single-task corpus sort.
+    */
+  def shufflePositions(df: DataFrame, idCol: String, seed: Long,
+      nBuckets: Int = 0): DataFrame = {
+    val P = 1000000007L
+    val b =
+      if (nBuckets > 0) nBuckets
+      else df.sparkSession.sparkContext.defaultParallelism * 4
+    val width = P / b + 1
+    val h = pmod(
+      TextAnalysis.fingerprint(
+        concat(col(idCol).cast("string"), lit("#" + seed))) * 2862933555L,
+      lit(P))
+    val based = df.select(col(idCol).cast("long").as(idCol), h.as("h"))
+      .withColumn("bkt", expr(s"h div ${width}L"))
+    val bucketOffsets = based.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(
+        sum("bn").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "boff")
+    based
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bkt").orderBy(col("h"), col(idCol))))
+      .join(broadcast(bucketOffsets), Seq("bkt"))
+      .select(col(idCol),
+        (col("boff") + col("rk") - 1L).as("shuffle_pos"))
+  }
+
   /** Sequence packing — the training-batch prep step that concatenates the
     * corpus's whitespace-token stream in deterministic `idCol` order and
     * splits it at fixed `budget`-token boundaries ("pack and split", the

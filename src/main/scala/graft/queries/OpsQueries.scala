@@ -137,6 +137,13 @@ object OpsQueries {
       "doc_id", "text", n = 5, maxEvalDf = 1000L)
   }
 
+  /** Deterministic seeded corpus shuffle: every document ranked into a dense
+    * pseudo-random permutation 0..n-1; the two-level distributed rank is
+    * checked against a plain single-window ROW_NUMBER in the oracle.
+    */
+  def shufflePositions(s: SparkSession, d: String): DataFrame =
+    Curate.shufflePositions(tbl(s, d, "documents"), "doc_id", seed = 42L)
+
   /** Sequence packing at a 64-token budget: the deterministic pack-and-split
     * training-batch prep. Piece geometry (doc_off/seq_off/piece_len) is
     * integer-exact, so the two-level distributed prefix sum is checked

@@ -563,6 +563,22 @@ object Oracles {
         |       s.n_shared * 1000 // p.n_shingles AS contam_milli
         |FROM shared s JOIN perdoc p ON s.id = p.id""".stripMargin,
 
+    // deterministic corpus shuffle: content hash of "id#seed" times a large
+    // multiplier mod 1e9+7 -> dense rank; the oracle's single-window
+    // ROW_NUMBER checks the engine's two-level (hash-range-bucketed)
+    // distributed rank exactly
+    "shuffle_positions" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(list_filter(string_split(CAST(doc_id AS VARCHAR) || '#42', ''), c -> c <> ''),
+        |         c -> CAST(ascii(c) AS BIGINT))),
+        |       (acc, x) -> (acc * 31 + x) % 1000000007) * 2862933555) % 1000000007) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM t""".stripMargin,
+
     // sequence packing: token counts -> exclusive prefix sum in doc_id
     // order -> each document explodes into the 1..k budget-64 sequences it
     // overlaps; the oracle's single-window prefix sum checks the engine's

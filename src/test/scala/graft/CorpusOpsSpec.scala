@@ -176,6 +176,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("shufflePositions: dense permutation, seed-sensitive, deterministic, bucket-invariant") {
+    import spark.implicits._
+    val df = docs((0 until 400).map(i => (i * 13L + 5L) -> "x"): _*)
+    val pos = Curate.shufflePositions(df, "doc_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // dense permutation of 0..n-1
+    assert(pos.map(_._2).sorted.toSeq == (0L until 400L).toSeq)
+    // not the identity-ish storage order (a broken hash would rank by id)
+    val byId = pos.sortBy(_._1).map(_._2)
+    assert(byId.zip(byId.tail).count { case (a, b) => a < b } < 300,
+      "shuffled order tracks storage order too closely")
+    // deterministic under recompute; a different seed permutes differently
+    val again = Curate.shufflePositions(df, "doc_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(pos.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = Curate.shufflePositions(df, "doc_id", seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(other.map(_._2).toSeq != pos.sortBy(_._1).map(_._2).toSeq)
+    // two-level rank is independent of the bucket count
+    val one = Curate.shufflePositions(df, "doc_id", seed = 7L, nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(one.toSeq == pos.sortBy(_._1).toSeq)
+  }
+
+  test("shufflePositions composes with packSequences: pack in shuffled order") {
+    val df = docs((0 until 60).map(i => i.toLong -> (1 to (i % 9) + 1).map(j => s"w$j").mkString(" ")): _*)
+    val shuffled = Curate.shufflePositions(df, "doc_id", seed = 3L)
+    val packed = Curate.packSequences(
+      df.join(shuffled, "doc_id").select(col("shuffle_pos"), col("text")),
+      "shuffle_pos", "text", budget = 32L)
+    import spark.implicits._
+    val total = df.select(sum(size(filter(split(col("text"), " "),
+      t => length(t) > 0)))).as[Long].head()
+    assert(packed.agg(sum("piece_len")).as[Long].head() == total)
+    val perSeq = packed.groupBy("seq_id").agg(sum("piece_len").as("n"))
+      .orderBy("seq_id").collect().map(_.getLong(1))
+    assert(perSeq.dropRight(1).forall(_ == 32L))
+  }
+
   test("packSequences: empty input and all-empty documents yield no pieces") {
     assert(Curate.packSequences(docs(), "doc_id", "text", budget = 8L).count() == 0L)
     assert(Curate.packSequences(docs(1L -> "", 2L -> ""), "doc_id", "text",

@@ -200,6 +200,21 @@ class PlanSpec extends AnyFunSuite {
     // bucket offsets rejoin the corpus as a broadcast, never a shuffle
     assert(plan.contains("BroadcastHashJoin"),
       s"bucket offsets must broadcast back:\n$plan")
+
+    // shufflePositions shares the contract (and needs no bounds action: its
+    // hash domain is static)
+    val sp = graft.ops.Curate.shufflePositions(
+      spark.read.parquet(dir), "doc_id", seed = 42L, nBuckets = 16)
+    val spPlan = executedPlan(sp).split("== Initial Plan ==")(0)
+    val spWindows = spPlan.split("\n").filter(_.contains("Window ["))
+    assert(spWindows.length == 2,
+      s"expected 2 Window nodes:\n${spWindows.mkString("\n")}")
+    assert(spWindows.count(_.matches(""".*\], \[bkt#\d+L\], \[.*""")) == 1,
+      s"per-row rank window must partition by bkt:\n${spWindows.mkString("\n")}")
+    assert(spPlan.contains("BroadcastHashJoin"),
+      s"rank offsets must broadcast back:\n$spPlan")
+    assert(spPlan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"shuffle scan must read ONLY doc_id:\n$spPlan")
   }
 
   test("decontam joins corpus shingles against a BROADCAST eval side") {
