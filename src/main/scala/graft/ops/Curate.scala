@@ -201,6 +201,10 @@ object Curate {
         col("n").as("doc_off"), col("n").as("seq_off"),
         col("n").as("piece_len")).limit(0)
     val lo = bounds.getLong(0)
+    // ids must span < 2^63 (any real id space does): a wider range wraps the
+    // subtraction and would silently mis-bucket rather than fail
+    require(bounds.getLong(1) - lo >= 0,
+      s"id range [$lo, ${bounds.getLong(1)}] exceeds Long — renumber ids first")
     val width = math.max(1L, (bounds.getLong(1) - lo) / b + 1)
     val withB = base.withColumn("bkt",
       expr(s"(`$idCol` - ${lo}L) div ${width}L"))

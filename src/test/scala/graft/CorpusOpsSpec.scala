@@ -215,6 +215,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(perSeq.dropRight(1).forall(_ == 32L))
   }
 
+  test("packSequences: negative ids bucket correctly; over-Long range is rejected") {
+    // ids straddling zero: lo < 0 exercises the (id - lo) rebase path
+    val df = docs((-50 until 50).map(i => i.toLong -> (1 to 3).map(j => s"w$j").mkString(" ")): _*)
+    val out = Curate.packSequences(df, "doc_id", "text", budget = 7L, nBuckets = 8)
+    import spark.implicits._
+    assert(out.agg(sum("piece_len")).as[Long].head() == 300L)
+    val perSeq = out.groupBy("seq_id").agg(sum("piece_len").as("n"))
+      .orderBy("seq_id").collect().map(_.getLong(1))
+    assert(perSeq.dropRight(1).forall(_ == 7L))
+    // a range wider than Long must fail loudly, never mis-bucket
+    val wide = docs(Long.MinValue + 1 -> "a", Long.MaxValue - 1 -> "b")
+    val e = intercept[IllegalArgumentException] {
+      Curate.packSequences(wide, "doc_id", "text", budget = 7L)
+    }
+    assert(e.getMessage.contains("renumber"))
+  }
+
   test("packSequences: empty input and all-empty documents yield no pieces") {
     assert(Curate.packSequences(docs(), "doc_id", "text", budget = 8L).count() == 0L)
     assert(Curate.packSequences(docs(1L -> "", 2L -> ""), "doc_id", "text",
