@@ -67,6 +67,7 @@ object SparkEntry {
       "decontam_overlap" -> (O.decontamOverlap _),
       "pack_sequences" -> (O.packSequences _),
       "shuffle_positions" -> (O.shufflePositions _),
+      "length_quantiles" -> (O.lengthQuantiles _),
       "embed_kmeans" -> (O.embedKmeans _),
       "semantic_dedup" -> (O.semanticDedup _),
       "semantic_dedup_capped" -> (O.semanticDedupCapped _),

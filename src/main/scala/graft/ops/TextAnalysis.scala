@@ -170,4 +170,41 @@ object TextAnalysis {
         size(col("chunk")).cast("long").as("chunk_tokens"),
         fingerprint(concat_ws(" ", col("chunk"))).as("chunk_fp"))
   }
+
+  /** EXACT per-domain token-length quantiles — the corpus length-distribution
+    * report (batch-size planning, truncation-rate estimation, domain skew
+    * audits). One row per (domain × requested per-mille quantile):
+    * `(domain, q_milli, n_docs, value)` where `value` is the smallest token
+    * count whose cumulative document count reaches `ceil(q · n/1000)` —
+    * the classical discrete quantile, integer-exact.
+    *
+    * Scale shape: NEVER `approx_percentile` (engine-specific sketches can't
+    * be oracle-checked) and NEVER a corpus-scale sort. Token counts live in
+    * a tiny value domain, so the corpus reduces to a (domain, length)
+    * HISTOGRAM — one map-side-combining aggregate, the only full-data
+    * shuffle. The cumulative sum, the quantile selection and the per-mille
+    * rank test (`cum·1000 ≥ q·n`, integer, no rounding step) all run over
+    * histogram-sized data; the per-domain window orders ≤ max-doc-length
+    * rows per domain.
+    */
+  def lengthQuantiles(df: DataFrame, textCol: String, domainCol: String,
+      qMilli: Seq[Int]): DataFrame = {
+    require(qMilli.nonEmpty && qMilli.forall(q => q > 0 && q <= 1000),
+      "quantiles must be per-mille values in 1..1000")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(col(domainCol).as("domain"), size(toks(col(textCol))).cast("long").as("n"))
+      .groupBy("domain", "n").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy("domain").orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = hist.groupBy("domain").agg(sum("c").as("n_docs"))
+    cum.join(broadcast(totals), Seq("domain"))
+      .select(col("domain"), col("cum"), col("n"), col("n_docs"),
+        explode(array(qMilli.map(q => lit(q.toLong)): _*)).as("q_milli"))
+      .filter(col("cum") * 1000L >= col("q_milli") * col("n_docs"))
+      .groupBy("domain", "q_milli")
+      .agg(min("n").as("value"), first("n_docs").as("n_docs"))
+      .select(col("domain"), col("q_milli"), col("n_docs"), col("value"))
+  }
 }

@@ -137,6 +137,14 @@ object OpsQueries {
       "doc_id", "text", n = 5, maxEvalDf = 1000L)
   }
 
+  /** Exact per-domain token-length quantiles (p25/p50/p75/p90/p99) over the
+    * documents table, domain = source; histogram-exact, so the oracle is the
+    * same cumulative-count selection in plain SQL.
+    */
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lengthQuantiles(tbl(s, d, "documents"), "text", "source",
+      qMilli = Seq(250, 500, 750, 900, 990))
+
   /** Deterministic seeded corpus shuffle: every document ranked into a dense
     * pseudo-random permutation 0..n-1; the two-level distributed rank is
     * checked against a plain single-window ROW_NUMBER in the oracle.

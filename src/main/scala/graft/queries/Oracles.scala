@@ -563,6 +563,28 @@ object Oracles {
         |       s.n_shared * 1000 // p.n_shingles AS contam_milli
         |FROM shared s JOIN perdoc p ON s.id = p.id""".stripMargin,
 
+    // exact per-domain length quantiles: (domain, token-count) histogram ->
+    // per-domain cumulative -> smallest length whose cumulative reaches
+    // ceil(q*n/1000), tested as the integer cross-product cum*1000 >= q*n
+    "length_quantiles" ->
+      """WITH t AS (
+        |  SELECT source AS domain,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |h AS (SELECT domain, n, count(*) AS c FROM t GROUP BY domain, n),
+        |w AS (
+        |  SELECT domain, n,
+        |    CAST(SUM(c) OVER (PARTITION BY domain ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM h),
+        |tot AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY domain),
+        |qs AS (SELECT CAST(q_milli AS BIGINT) AS q_milli
+        |       FROM (VALUES (250), (500), (750), (900), (990)) AS v(q_milli))
+        |SELECT w.domain, qs.q_milli, MIN(tot.n_docs) AS n_docs, MIN(w.n) AS value
+        |FROM w JOIN tot ON w.domain = tot.domain CROSS JOIN qs
+        |WHERE w.cum * 1000 >= qs.q_milli * tot.n_docs
+        |GROUP BY w.domain, qs.q_milli""".stripMargin,
+
     // deterministic corpus shuffle: content hash of "id#seed" times a large
     // multiplier mod 1e9+7 -> dense rank; the oracle's single-window
     // ROW_NUMBER checks the engine's two-level (hash-range-bucketed)

@@ -176,6 +176,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("lengthQuantiles: hand-computed ceil-rank quantiles per domain") {
+    import spark.implicits._
+    // domain A lengths 1,2,3,4; domain B lengths 0,0,5 (empties count)
+    val df = Seq(
+      ("A", "w"), ("A", "w w"), ("A", "w w w"), ("A", "w w w w"),
+      ("B", ""), ("B", ""), ("B", "a b c d e")).toDF("source", "text")
+    val out = TextAnalysis.lengthQuantiles(df, "text", "source",
+        qMilli = Seq(250, 500, 750, 1000))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("A", 250L)) == ((4L, 1L)))  // rank ceil(.25*4)=1 -> value 1
+    assert(out(("A", 500L)) == ((4L, 2L)))
+    assert(out(("A", 750L)) == ((4L, 3L)))
+    assert(out(("A", 1000L)) == ((4L, 4L)))
+    assert(out(("B", 500L)) == ((3L, 0L)))  // median of (0,0,5) is 0
+    assert(out(("B", 1000L)) == ((3L, 5L)))
+    assert(out.size == 8)
+  }
+
+  test("lengthQuantiles: rejects out-of-range quantiles; single-length domain is constant") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lengthQuantiles(
+        Seq(("A", "w")).toDF("source", "text"), "text", "source", Seq(0))
+    }
+    val out = TextAnalysis.lengthQuantiles(
+        Seq.fill(9)(("A", "x y z")).toDF("source", "text"),
+        "text", "source", Seq(100, 500, 999))
+      .select("value").as[Long].collect()
+    assert(out.toSeq == Seq(3L, 3L, 3L))
+  }
+
   test("shufflePositions: dense permutation, seed-sensitive, deterministic, bucket-invariant") {
     import spark.implicits._
     val df = docs((0 until 400).map(i => (i * 13L + 5L) -> "x"): _*)
