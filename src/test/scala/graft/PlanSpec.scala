@@ -217,6 +217,30 @@ class PlanSpec extends AnyFunSuite {
       s"shuffle scan must read ONLY doc_id:\n$spPlan")
   }
 
+  test("lengthQuantiles: scan pruned; no exchange carries document text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-lq").toString
+    (0L until 300L).map(i => (i, (0 to (i % 19).toInt).map(j => s"w$j").mkString(" "),
+        s"src${i % 4}", s"wide $i"))
+      .toDF("doc_id", "text", "source", "unused_wide_col")
+      .write.mode("overwrite").parquet(dir)
+    val df = graft.ops.TextAnalysis.lengthQuantiles(
+      spark.read.parquet(dir), "text", "source", qMilli = Seq(500, 900))
+    val plan = executedPlan(df).split("== Initial Plan ==")(0)
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>") ||
+      plan.contains("ReadSchema: struct<source:string,text:string>"),
+      s"quantile scan must read ONLY (text, source):\n$plan")
+    // histogram-first: the token count is computed BEFORE the first
+    // exchange, so no shuffle ever carries the text column — the corpus
+    // never moves, only per-task partial histograms do
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"no exchange may carry text:\n${exchanges.mkString("\n")}")
+    // and the first aggregate below the exchange is a partial hash agg
+    assert(plan.contains("HashAggregate"), s"histogram must hash-aggregate:\n$plan")
+  }
+
   test("decontam joins corpus shingles against a BROADCAST eval side") {
     import spark.implicits._
     // eval sets are benchmarks — thousands of docs against a 100-TB corpus;
