@@ -286,16 +286,42 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       thresholdPct: Int, nClusters: Int = 0, lloydRounds: Int = 2,
       quantScale: Int = 1000, maxCluster: Long = 10000L): DataFrame = {
+    val (out, handles) = semanticDedupTracked(df, idCol, vecCol, thresholdPct,
+      nClusters, lloydRounds, quantScale, maxCluster)
+    // materialize ONCE against the filled caches, then release them — the
+    // r5-original shape unpersisted a/v BEFORE the caller's first action, so
+    // the returned lazy plan re-derived the Lloyd assignment (crossJoin vs
+    // centroids + window top-1) THREE times uncached: under the x and y pair
+    // sides and under the final keep join. localCheckpoint (eager) is the
+    // same materialize-then-release the cluster dedup path gets from CC's
+    // checkpoint; blocks free when the result is collected by GC.
+    val mat = out.localCheckpoint()
+    handles.foreach(_.unpersist(blocking = false))
+    mat
+  }
+
+  /** [[semanticDedup]] as a lazy plan plus the persisted handles backing it
+    * (the `minhashNearDupsTracked` pattern): the quantized vectors and the
+    * Lloyd assignment are persisted and the assignment is evaluated EXACTLY
+    * ONCE — by the cap-probe action, which runs even uncapped so it doubles
+    * as the cache-filling measurement. Every leaf of the returned plan is
+    * the assignment cache (plan-asserted in OpsSpec). Callers release
+    * `handles` once the result is materialized.
+    */
+  def semanticDedupTracked(df: DataFrame, idCol: String, vecCol: String,
+      thresholdPct: Int, nClusters: Int = 0, lloydRounds: Int = 2,
+      quantScale: Int = 1000, maxCluster: Long = 10000L)
+      : (DataFrame, Seq[DataFrame]) = {
     val v = quantized(df, idCol, vecCol, quantScale).persist()
     val nVec = v.count()
     val nc = if (nClusters > 0) nClusters else math.ceil(math.sqrt(nVec.toDouble)).toInt
     val a = lloydAssign(v, nc, lloydRounds)(1).persist()
-    if (maxCluster != Long.MaxValue) {
-      val (nOver, nRows) = Dedup.countOverfullBuckets(a, Seq("cid"), maxCluster)
-      if (nOver > 0)
-        log.info(s"semanticDedup: excluding $nOver overfull clusters " +
-          s"($nRows vectors) from the pair phase at maxCluster=$maxCluster")
-    }
+    // the one measurement action: fills a's cache (and v's beneath it) and
+    // logs what the cap will exclude from the pair phase
+    val (nOver, nRows) = Dedup.countOverfullBuckets(a, Seq("cid"), maxCluster)
+    if (nOver > 0)
+      log.info(s"semanticDedup: excluding $nOver overfull clusters " +
+        s"($nRows vectors) from the pair phase at maxCluster=$maxCluster")
     val sized = a.withColumn("csize",
       count(lit(1)).over(Window.partitionBy(col("cid"))))
     val eligible = sized.filter(col("csize") <= maxCluster)
@@ -311,9 +337,7 @@ object Similarity {
       .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cid").as("cluster"),
         when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
-    a.unpersist(blocking = false)
-    v.unpersist(blocking = false)
-    out
+    (out, Seq(a, v))
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity")

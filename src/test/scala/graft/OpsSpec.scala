@@ -536,4 +536,23 @@ class OpsSpec extends AnyFunSuite {
     assert(unc == dflt,
       "default cap (10k) must be a no-op on small clusters == explicit uncapped")
   }
+
+  test("semantic dedup tracked: assignment evaluated once, leaves read the cache") {
+    val (out, handles) = Similarity.semanticDedupTracked(
+      vecs10x, "vec_id", "embedding", thresholdPct = 40)
+    // every leaf of the pair+keep plan is a persisted cache — no path in it
+    // can re-run the Lloyd assignment (it ran once, in the cap-probe action)
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"every leaf must read the cache:\n${out.queryExecution.optimizedPlan}")
+    val got = out.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    handles.foreach(_.unpersist(blocking = true))
+    assert(handles.forall(!_.storageLevel.useMemory))
+    // tracked == the plain (materialized) entry point
+    val plain = Similarity.semanticDedup(vecs10x, "vec_id", "embedding",
+      thresholdPct = 40)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == plain)
+  }
 }
