@@ -166,7 +166,11 @@ object Similarity {
     val nc = if (nCentroids > 0) nCentroids else math.ceil(math.sqrt(nVec.toDouble)).toInt
     val assign = lloydAssign(v, nc, lloydRounds)
 
-    val probed = assign(nProbe)
+    // persisted: the probe assignment (crossJoin vs the centroid broadcast +
+    // a window top-nProbe) feeds BOTH sides of the candidate self-join — the
+    // r4 shape re-ran it twice (and the quantization four times) because the
+    // caches were dropped before the caller's action
+    val probed = assign(nProbe).persist()
     val cands = probed.as("a").join(probed.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"))
@@ -182,8 +186,11 @@ object Similarity {
     val out = ranked.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
-    // training actions are done; release the cache (the returned lazy plan
-    // recomputes the cheap quantization instead of pinning executor memory)
+      // materialize ONCE against the hot caches (N·k narrow rows), then
+      // release them — same lifecycle as [[semanticDedup]]; the checkpoint
+      // blocks free when the caller drops the result
+      .localCheckpoint()
+    probed.unpersist(blocking = false)
     v.unpersist(blocking = false)
     out
   }
