@@ -68,6 +68,8 @@ object SparkEntry {
       "pack_sequences" -> (O.packSequences _),
       "shuffle_positions" -> (O.shufflePositions _),
       "length_quantiles" -> (O.lengthQuantiles _),
+      "word_freqs" -> (O.wordFreqs _),
+      "bpe_pairs" -> (O.bpePairs _),
       "embed_kmeans" -> (O.embedKmeans _),
       "semantic_dedup" -> (O.semanticDedup _),
       "semantic_dedup_capped" -> (O.semanticDedupCapped _),

@@ -171,6 +171,58 @@ object TextAnalysis {
         fingerprint(concat_ws(" ", col("chunk"))).as("chunk_fp"))
   }
 
+  /** Global word-frequency table — the tokenizer-training vocabulary (one
+    * row per distinct whitespace token with its corpus count, hapax tail
+    * pruned by `minCount`). This is the pre-aggregation every real BPE/
+    * unigram tokenizer trainer runs first: all later merge statistics work
+    * off (word, count), never the raw corpus.
+    *
+    * Scale shape: explode → ONE count aggregation. The token stream is the
+    * textbook Zipf distribution, but a COUNT groupBy needs no salt: partial
+    * (map-side) aggregation bounds the head token to one partial row per
+    * map task, so no reducer ever receives the head key's raw volume — the
+    * salt-worthy case is non-combinable aggregates (see
+    * [[graft.pipeline.SaltedAgg]]), not algebraic counts. `minCount`
+    * prunes the long tail (typos, ids) before the vocab feeds any
+    * broadcast or driver-side merge loop.
+    */
+  def wordFrequencies(df: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame =
+    df.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** BPE pair statistics: the top-`topK` adjacent character pairs across
+    * the corpus, each weighted by the frequency of the words containing it
+    * — the data-scale step of byte-pair-encoding tokenizer training (the
+    * first merge candidates; subsequent merge ROUNDS run on the
+    * driver-sized vocab in any real trainer, so they are out of scope for
+    * the engine). Counts are word-frequency-weighted occurrence counts, so
+    * a pair appearing twice in one word counts twice, exactly like the
+    * classical Sennrich et al. '16 counting loop.
+    *
+    * Scale shape: the ONLY corpus-scale work is [[wordFrequencies]]'
+    * count shuffle; pair explosion and summation run on the VOCAB (|V|
+    * rows, orders of magnitude below the corpus — the reason trainers
+    * pre-aggregate at all), and the top-k is a `TakeOrderedAndProject`
+    * (per-partition heap + driver merge of k rows), never a global sort.
+    * Ties break on the pair string ascending, so the result SET is
+    * deterministic. ASCII-safe across engines (both Spark and the oracle
+    * substring by codepoint).
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val vocab = wordFrequencies(df, textCol, minCount)
+    vocab.filter(length(col("token")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("token")) - 1),
+        i => col("token").substr(i, lit(2)))).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
+
   /** EXACT per-domain token-length quantiles — the corpus length-distribution
     * report (batch-size planning, truncation-rate estimation, domain skew
     * audits). One row per (domain × requested per-mille quantile):

@@ -145,6 +145,23 @@ object OpsQueries {
     TextAnalysis.lengthQuantiles(tbl(s, d, "documents"), "text", "source",
       qMilli = Seq(250, 500, 750, 900, 990))
 
+  /** Tokenizer-training vocabulary: corpus-wide word frequencies with the
+    * hapax tail pruned (minCount = 100 — BINDS at the driver's verify
+    * scales: the synthetic corpus has one rare token under it at both
+    * sf0.001 and sf0.01, so the pruning branch is oracle-exercised, not
+    * just present). The one corpus-scale shuffle is a map-side-combined
+    * count.
+    */
+  def wordFreqs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.wordFrequencies(tbl(s, d, "documents"), "text", minCount = 100L)
+
+  /** BPE pair statistics: top-50 frequency-weighted adjacent character
+    * pairs off the vocabulary, ties broken on the pair string — the
+    * data-scale step of BPE tokenizer training.
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpePairCounts(tbl(s, d, "documents"), "text", topK = 50)
+
   /** Deterministic seeded corpus shuffle: every document ranked into a dense
     * pseudo-random permutation 0..n-1; the two-level distributed rank is
     * checked against a plain single-window ROW_NUMBER in the oracle.

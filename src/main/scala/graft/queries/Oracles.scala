@@ -585,6 +585,29 @@ object Oracles {
         |WHERE w.cum * 1000 >= qs.q_milli * tot.n_docs
         |GROUP BY w.domain, qs.q_milli""".stripMargin,
 
+    // tokenizer-training vocabulary: word frequencies, hapax tail pruned
+    "word_freqs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok GROUP BY token HAVING count(*) >= 100""".stripMargin,
+
+    // BPE pair statistics: adjacent character pairs of each vocab word,
+    // weighted by word frequency; top-50 with ties broken on the pair
+    "bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(token)),
+        |           i -> substr(token, CAST(i AS INT), 2))) AS pair, cnt
+        |  FROM vocab WHERE length(token) >= 2)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
+
     // deterministic corpus shuffle: content hash of "id#seed" times a large
     // multiplier mod 1e9+7 -> dense rank; the oracle's single-window
     // ROW_NUMBER checks the engine's two-level (hash-range-bucketed)

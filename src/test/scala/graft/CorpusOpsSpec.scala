@@ -278,4 +278,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_shared") == 1L)
     assert(out.getAs[Long]("contam_milli") == 200L)
   }
+
+  test("wordFrequencies: exact counts, minCount prunes the tail") {
+    val d = docs(1L -> "the cat  the dog", 2L -> "the cat", 3L -> "")
+    val all = TextAnalysis.wordFrequencies(d, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("the" -> 3L, "cat" -> 2L, "dog" -> 1L),
+      s"double space must not create empty tokens: $all")
+    val pruned = TextAnalysis.wordFrequencies(d, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned == Map("the" -> 3L, "cat" -> 2L))
+  }
+
+  test("bpePairCounts: frequency-weighted pairs, in-word repeats, ties, topK") {
+    // vocab: "aaa"×2 (pairs aa, aa — counted twice per occurrence),
+    // "ab"×3 (pair ab), "ba"×3 (pair ba), "x"×5 (no pair)
+    val d = docs(
+      1L -> "aaa ab ba x x", 2L -> "aaa ab ba x x", 3L -> "ab ba x")
+    val got = TextAnalysis.bpePairCounts(d, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // aa: 2 per "aaa" × 2 occurrences = 4; ab: 3; ba: 3 (tie -> "ab" first)
+    assert(got.toSeq == Seq(("aa", 4L), ("ab", 3L), ("ba", 3L)))
+    val top1 = TextAnalysis.bpePairCounts(d, "text", topK = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top1.toSeq == Seq(("aa", 4L)))
+  }
+
+  test("bpePairCounts: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val out = TextAnalysis.bpePairCounts(docs(1L -> "ab cd ab"), "text", topK = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded per-partition heap + driver merge:\n$plan")
+    assert(!plan.contains("GlobalSort") && !out.queryExecution.executedPlan.exists {
+      case s: org.apache.spark.sql.execution.SortExec => s.global
+      case _ => false
+    }, s"no global sort allowed in the top-k plan:\n$plan")
+  }
 }
