@@ -289,4 +289,47 @@ class StreamingSpec extends AnyFunSuite {
     // advances at the final batch — accept either emitted rows or a clean run
     assert(q.exception.isEmpty)
   }
+
+  test("streaming ingest dedup: in-run dups dropped, cross-run state survives the checkpoint") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("sdedup-src").toString
+    val outDir = Files.createTempDirectory("sdedup-out").toString
+    val ckDir = Files.createTempDirectory("sdedup-ck").toString
+    val t0 = 1700000000000L
+    def doc(id: Long, text: String, tsMs: Long) =
+      (id, text, new java.sql.Timestamp(tsMs))
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .parquet(srcDir)
+      val q = graft.streaming.StreamingOps.dedupStream(
+        stream, "text", "ts", outDir, "sdedup", ckDir, "10 minutes")
+      q.awaitTermination(120000)
+      assert(q.exception.isEmpty, s"${q.exception}")
+    }
+    // run 1: A, its exact duplicate, and B — the dup drops within the run
+    write(Seq(doc(1L, "alpha beta gamma", t0),
+      doc(2L, "alpha beta gamma", t0 + 1000L),
+      doc(3L, "delta epsilon", t0 + 300000L)))
+    run()
+    val got1 = spark.read.parquet(outDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got1.map(_._2) == Set("alpha beta gamma", "delta epsilon"))
+    assert(got1.size == 2, s"exactly one row per distinct text: $got1")
+    assert(got1.contains((1L, "alpha beta gamma")), "first occurrence wins")
+    // run 2 (same checkpoint): another duplicate of A, WITHIN the horizon of
+    // run 1's watermark (max_ts - 10min = t0 - 5min < t0+1min) — the key
+    // state persisted in the checkpoint must still drop it; C is new
+    write(Seq(doc(4L, "alpha beta gamma", t0 + 60000L),
+      doc(5L, "zeta eta", t0 + 360000L)))
+    run()
+    val got2 = spark.read.parquet(outDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2.map(_._2) == Set("alpha beta gamma", "delta epsilon", "zeta eta"))
+    assert(!got2.exists(_._1 == 4L),
+      s"cross-run duplicate within the horizon must stay dropped: $got2")
+  }
 }
