@@ -63,18 +63,46 @@ object Curate {
       numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 80,
       maxBucket: Long = 1000L, maxDfFraction: Double = 0.01,
       trainBp: Int = 9000, valBp: Int = 500): DataFrame = {
+    val (out, handles) = curateTracked(df, idCol, textCol, minQualityMilli,
+      numHashes, bands, thresholdPct, maxBucket, maxDfFraction, trainBp, valBp)
+    // materialize the narrow (id, quality, split) survivor table once
+    // against the hot caches, then release them (the semanticDedup
+    // lifecycle; blocks free when the caller drops the result)
+    val mat = out.localCheckpoint()
+    handles.foreach(_.unpersist(blocking = false))
+    mat
+  }
+
+  /** [[curate]] as a lazy plan plus the persisted handles backing it: the
+    * gated quality table is persisted, so the quality regex scan over the
+    * corpus runs ONCE — the untracked r5 shape re-evaluated it three times
+    * (under the gate semi-join feeding dedup, and under the final
+    * anti-join), each a full corpus scan with three `regexp_replace`
+    * passes per row. The cluster phase's own caches ride along from
+    * [[Dedup.minhashClustersTracked]]; its eager CC materialization also
+    * fills the quality cache (the gate feeds the dedup corpus), so no
+    * extra action is needed. Callers release `handles` when done.
+    */
+  def curateTracked(df: DataFrame, idCol: String, textCol: String,
+      minQualityMilli: Int = 500,
+      numHashes: Int = 32, bands: Int = 8, thresholdPct: Int = 80,
+      maxBucket: Long = 1000L, maxDfFraction: Double = 0.01,
+      trainBp: Int = 9000, valBp: Int = 500): (DataFrame, Seq[DataFrame]) = {
     val scored = TextAnalysis.quality(df, idCol, textCol)
       .select(col(idCol), col("quality_milli"))
       .filter(col("quality_milli") >= minQualityMilli)
+      .persist()
     // dedup runs AFTER the gate: a low-quality doc must not be the
     // representative that evicts a high-quality near-duplicate
     val kept = df.join(scored.select(col(idCol)), Seq(idCol), "left_semi")
-    val dupes = Dedup.minhashClusters(kept, idCol, textCol, numHashes, bands,
-        thresholdPct, maxBucket, maxDfFraction)
+    val (clusters, _, handles) = Dedup.minhashClustersTracked(kept, idCol,
+      textCol, numHashes, bands, thresholdPct, maxBucket, maxDfFraction)
+    val dupes = clusters
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as(idCol))
-    scored.join(dupes, Seq(idCol), "left_anti")
+    val out = scored.join(dupes, Seq(idCol), "left_anti")
       .withColumn("split", splitCol(col(idCol), trainBp, valBp))
+    (out, handles :+ scored)
   }
 
   /** Deterministic per-domain sampling rate (basis points of 10000) and

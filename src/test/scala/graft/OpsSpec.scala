@@ -271,6 +271,19 @@ class OpsSpec extends AnyFunSuite {
         minQualityMilli = 900, thresholdPct = 80)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
     assert(out == again)
+    // tracked == plain; the gated quality table is a persisted leaf of the
+    // returned plan (the quality regex scan runs once, not three times),
+    // and the handles release cleanly
+    val (tr, handles) = graft.ops.Curate.curateTracked(df, "doc_id", "text",
+      minQualityMilli = 900, thresholdPct = 80)
+    val got = tr.collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(got == out)
+    val leaves = tr.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      s"the quality cache must back the survivor plan:\n${tr.queryExecution.optimizedPlan}")
+    handles.foreach(_.unpersist(blocking = true))
+    assert(handles.forall(!_.storageLevel.useMemory))
   }
 
   test("tracked near-dup entry points evaluate the signature plan once") {
