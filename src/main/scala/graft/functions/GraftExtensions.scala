@@ -43,5 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("vec_dot", 2, exprs)
         FloatVecDot(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("long_vec_dot"),
+      new ExpressionInfo(classOf[LongVecDot].getName, "long_vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        requireArity("long_vec_dot", 2, exprs)
+        LongVecDot(exprs(0), exprs(1))
+      }))
   }
 }

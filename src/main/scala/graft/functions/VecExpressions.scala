@@ -80,16 +80,107 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the quantized-vector hot loop: EXACT
+  * integer dot product of two long-array columns — the ranking/verify
+  * primitive of the whole oracle-checkable embedding family
+  * (`Similarity.qdot` call sites: norms, LSH projections, IVF ranking,
+  * SemDeDup/near-dup threshold verification).
+  *
+  * The built-in formulation `aggregate(zip_with(a, b, _*_), 0L, _+_)` runs
+  * INTERPRETED — higher-order functions sit outside whole-stage codegen and
+  * evaluate two closures plus an intermediate array per element, which made
+  * the pair-verify phases the dominant cost of `semantic_dedup` once the
+  * result was honestly materialized. This is the same fused `doGenCode`
+  * loop as [[FloatVecDot]], but BIT-FAITHFUL to the built-in integer form:
+  * products and the accumulator use EXACT long arithmetic that THROWS on
+  * overflow (`Math.multiplyExact`/`addExact`) — under Spark 4's default
+  * ANSI mode the built-in `x * y` raises ARITHMETIC_OVERFLOW rather than
+  * wrapping, and DuckDB's BIGINT errors too, so a silently-wrapping loop
+  * would return a value where both reference forms fail (callers hold the
+  * [[graft.ops.Similarity.quantize]] magnitude contract, so overflow never
+  * fires in practice); a length mismatch or a null element yields NULL
+  * (zip_with pads the shorter side with nulls, and `acc + null` poisons
+  * the built-in sum) — equivalence is property-tested in
+  * VecExpressionSpec.
+  */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"long_vec_dot expects array<bigint>, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc = java.lang.Math.addExact($acc,
+         |      java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecFunctions {
   /** Column API for [[FloatVecDot]]. */
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column API for [[LongVecDot]]. */
+  def long_vec_dot(a: Column, b: Column): Column =
+    Bridge.column(LongVecDot(Bridge.expression(a), Bridge.expression(b)))
+
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
 
-  /** Register as a SQL function `vec_dot`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register as SQL functions `vec_dot` / `long_vec_dot`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_vec_dot", exprs => LongVecDot(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -50,8 +50,19 @@ object Similarity {
   def quantize(vecCol: Column, scale: Int = 1000): Column =
     transform(vecCol, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[graft.functions.LongVecDot]] (one fused loop inside
+    * whole-stage codegen; the HOF formulation below runs interpreted and
+    * was the dominant cost of the pair-verify phases).
+    */
   def qdot(a: Column, b: Column): Column =
+    graft.functions.VecFunctions.long_vec_dot(a, b)
+
+  /** Built-in-only reference formulation of [[qdot]] — what the DuckDB
+    * oracles mirror term for term; equivalence is property-tested in
+    * VecExpressionSpec.
+    */
+  def qdotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Deterministic cosine ranking key: dot/sqrt(na2·nb2) with the

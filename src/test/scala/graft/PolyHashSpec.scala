@@ -40,10 +40,12 @@ class PolyHashSpec extends AnyFunSuite {
     // a STATIC conf, so the functions below resolve WITHOUT any per-session
     // register() call (the deployment path: spark.sql.extensions at launch)
     val r = spark.sql(
-      "SELECT poly_hash('abc') AS h, vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      "SELECT poly_hash('abc') AS h, vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+        "long_vec_dot(array(2L, 3L), array(5L, 7L)) AS q")
       .collect()(0)
     assert(r.getLong(0) == 97L * 31 * 31 + 98L * 31 + 99L)
     assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == 31L)
   }
 
   test("native == built-in on pseudo-random strings (property sweep)") {
