@@ -76,6 +76,7 @@ object SparkEntry {
       "multimodal_meta" -> (O.multimodalMeta _),
       "multimodal_features" -> (O.multimodalFeatures _),
       "multimodal_bmp" -> (O.multimodalBmp _),
+      "multimodal_wav" -> (O.multimodalWav _),
       "frame_sample" -> (O.frameSample _),
       "embed_stats" -> (O.embedStats _),
       "ann_brute_topk" -> (O.annBruteTopK _),

@@ -99,6 +99,66 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #3 — the AUDIO class: 16-bit PCM WAV (RIFF). Walks the
+    * chunk list (word-aligned per the RIFF spec, unknown chunks skipped),
+    * takes channels/bit-depth from the binary little-endian `fmt ` chunk
+    * and folds the `data` chunk's int16 samples into a total absolute
+    * amplitude. Mapped onto the shared [[MediaCodec]] triple as
+    * (channels, frames-per-channel, Σ|sample|) — `decodeFeatures`' mean
+    * then reads as mean absolute amplitude per-mille. Everything comes
+    * from the BYTES.
+    */
+  object WavCodec extends MediaCodec {
+    private def le4(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def le2(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    def decode(bytes: Array[Byte]): (Int, Int, Long) = {
+      require(bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a RIFF/WAVE payload")
+      var i = 12
+      var channels = 0
+      var fmtSeen = false
+      var dataSeen = false
+      var nFrames = 0
+      var sum = 0L
+      while (i + 8 <= bytes.length) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val size = le4(bytes, i + 4)
+        val body = i + 8
+        id match {
+          case "fmt " =>
+            require(le2(bytes, body) == 1, "only PCM WAV supported")
+            channels = le2(bytes, body + 2)
+            require(channels >= 1, "PCM channel count must be >= 1")
+            val bps = le2(bytes, body + 14)
+            require(bps == 16, s"only 16-bit PCM supported, got bps=$bps")
+            fmtSeen = true
+          case "data" =>
+            require(fmtSeen, "data chunk before fmt chunk")
+            val n = math.min(size.toLong, (bytes.length - body).toLong).toInt / 2
+            var s = 0
+            while (s < n) {
+              val v = ((bytes(body + 2 * s) & 0xff) |
+                (bytes(body + 2 * s + 1) << 8)).toShort.toInt
+              sum += math.abs(v)
+              s += 1
+            }
+            nFrames = n / channels
+            dataSeen = true
+          case _ => () // LIST/INFO/etc. — skipped, size-driven walk
+        }
+        i = body + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(dataSeen, "no data chunk")
+      (channels, nFrames, sum)
+    }
+  }
+
   /** STUB codec kept for tests: deterministic byte statistics standing in for
     * a library decode (JPEG etc.). The Spark-side contract it exercises —
     * mapPartitions, per-partition init, typed output — is identical.
@@ -184,6 +244,34 @@ object Multimodal {
           repeat(lit("00"), (col("_px") - col("_n")).cast("int")))).as("media"),
         lit("image/bmp").as("mime"),
         (col("_px") + 1078L).as("n_bytes"))
+
+  /** Render a text column as a REAL 16-bit PCM mono WAV: each UTF-8 byte of
+    * the text becomes one little-endian int16 sample of that value (so the
+    * decoded absolute-amplitude sum equals the text's byte sum — the same
+    * SQL-derivable quantity the image codecs fold, which is what keeps the
+    * decode oracle-checkable end to end). The 44-byte canonical RIFF header
+    * is built with pure column ops (numbers → little-endian hex → one
+    * `unhex`); the sample rate varies with the text length to exercise the
+    * header parse. Ingest-side counterpart of [[WavCodec]].
+    */
+  def attachWav(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol).as("_t"))
+      .withColumn("_n", octet_length(col("_t")).cast("long"))
+      .withColumn("_rate", lit(8000L) + pmod(col("_n"), lit(8L)) * 1000L)
+      .withColumn("_hdr", concat(
+        lit("52494646"), le4hex(col("_n") * 2L + 36L), lit("57415645"), // RIFF size WAVE
+        lit("666D7420"), le4hex(lit(16L)), // "fmt " chunk, 16 bytes
+        lit("0100"), lit("0100"), // PCM, 1 channel (LE int16s)
+        le4hex(col("_rate")), le4hex(col("_rate") * 2L), // sample rate, byte rate
+        lit("0200"), lit("1000"), // block align 2, 16 bps
+        lit("64617461"), le4hex(col("_n") * 2L))) // "data" chunk, 2n bytes
+      .select(
+        col("media_id"),
+        // one "$1 00" pair per text byte: byte b -> LE int16 sample b
+        unhex(concat(col("_hdr"),
+          regexp_replace(hex(encode(col("_t"), "UTF-8")), "(..)", "$100"))).as("media"),
+        lit("audio/wav").as("mime"),
+        (col("_n") * 2L + 44L).as("n_bytes"))
 
   /** Decode + feature-extract over partitions (batch shape: the per-partition
     * iterator — the codec is constructed/bound once per partition here, the

@@ -208,6 +208,19 @@ object OpsQueries {
       Multimodal.BmpCodec)
       .toDF().select("media_id", "n_bytes", "width", "height", "pixel_sum", "mean_milli")
 
+  /** Third real codec path — the AUDIO class: text rendered as 16-bit PCM
+    * mono WAV (canonical RIFF header via unhex, one LE int16 sample per
+    * text byte), decoded back by the chunk-walking header parse + absolute
+    * amplitude fold — integer-exact, DuckDB-oracled.
+    */
+  def multimodalWav(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeFeatures(
+      Multimodal.attachWav(tbl(s, d, "documents"), "doc_id", "text"),
+      Multimodal.WavCodec)
+      .toDF().select(col("media_id"), col("n_bytes"),
+        col("width").as("channels"), col("height").as("n_frames"),
+        col("pixel_sum").as("amp_sum"), col("mean_milli").as("mean_amp_milli"))
+
   def embedStats(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings").groupBy("label")
       .agg(count(lit(1)).as("n"),

@@ -1066,5 +1066,24 @@ object Oracles {
         |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       CAST(px_sum AS BIGINT) AS pixel_sum,
         |       CAST(px_sum * 1000 // (w * h) AS BIGINT) AS mean_milli
-        |FROM db""".stripMargin)
+        |FROM db""".stripMargin,
+
+    // WAV twin: one LE int16 sample per text byte (mono), so the decoded
+    // absolute-amplitude sum IS the text byte sum; 44-byte canonical header
+    "multimodal_wav" ->
+      """WITH hb AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |mb AS (
+        |  SELECT doc_id AS media_id, n,
+        |         COALESCE(list_sum(list_transform(range(0, n), i ->
+        |           instr('123456789ABCDEF', substr(hx, 2*i+1, 1)) * 16
+        |           + instr('123456789ABCDEF', substr(hx, 2*i+2, 1)))), 0) AS amp
+        |  FROM hb)
+        |SELECT media_id,
+        |       CAST(n * 2 + 44 AS BIGINT) AS n_bytes,
+        |       CAST(1 AS INT) AS channels, CAST(n AS INT) AS n_frames,
+        |       CAST(amp AS BIGINT) AS amp_sum,
+        |       CAST(amp * 1000 // GREATEST(1, n) AS BIGINT) AS mean_amp_milli
+        |FROM mb""".stripMargin)
 }

@@ -458,6 +458,59 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == expect("x" * 57)) // multi-row raster (h > 1)
   }
 
+  test("multimodal: WAV render → REAL chunk-walking PCM codec round-trip") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "café haus"))
+      .toDF("doc_id", "text")
+    val media = graft.ops.Multimodal.attachWav(df, "doc_id", "text")
+    // the payload is a parseable canonical WAV: RIFF/WAVE magics, fmt, data
+    val raw = media.filter(col("media_id") === 1L)
+      .select("media").collect()(0).getAs[Array[Byte]](0)
+    assert(new String(raw, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(raw, 8, 4, "US-ASCII") == "WAVE")
+    assert(raw.length == 44 + 2 * 11)
+    val got = graft.ops.Multimodal.decodeFeatures(media, graft.ops.Multimodal.WavCodec)
+      .collect().map(f => f.media_id ->
+        ((f.width, f.height, f.pixel_sum, f.n_bytes, f.mean_milli))).toMap
+    def expect(text: String): (Int, Int, Long, Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val sum = bytes.map(b => (b & 0xff).toLong).sum
+      (1, n, sum, 44L + 2 * n, sum * 1000L / math.max(1L, n.toLong))
+    }
+    assert(got(1L) == expect("hello world"))
+    assert(got(2L) == expect("")) // zero frames, zero amplitude, no div-by-0
+    assert(got(3L) == expect("café haus")) // byte (not char) frame count
+
+    // hand-built STEREO wav with negative samples and an unknown odd-sized
+    // chunk before data — exercises the chunk walker, word-alignment skip,
+    // channel split and the abs fold
+    def le2(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le4(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Seq(100, -100, 32000, -32000) // 2 frames x 2 channels
+    val data = samples.flatMap(le2).toArray
+    val junk = Array[Byte](1, 2, 3) // odd size -> 1 pad byte follows
+    val wav = "RIFF".getBytes ++ le4(4 + 8 + 16 + 8 + 4 + 8 + data.length) ++
+      "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ le2(1) ++ le2(2) ++ le4(8000) ++
+      le4(32000) ++ le2(4) ++ le2(16) ++
+      "LIST".getBytes ++ le4(junk.length) ++ junk ++ Array[Byte](0) ++
+      "data".getBytes ++ le4(data.length) ++ data
+    val (ch, frames, amp) = graft.ops.Multimodal.WavCodec.decode(wav)
+    assert(ch == 2 && frames == 2 && amp == 100L + 100 + 32000 + 32000)
+
+    // the decoder really parses: corrupt magic and non-PCM must throw
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.WavCodec.decode("RIFX1234WAVE".getBytes)
+    }
+    val nonPcm = wav.clone()
+    nonPcm(20) = 3 // audioFormat = 3 (IEEE float)
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.WavCodec.decode(nonPcm)
+    }
+  }
+
   test("text analysis: quality/langid/token counts on crafted inputs") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog."),
