@@ -102,6 +102,16 @@ case class FloatVecDot(left: Expression, right: Expression)
   * (zip_with pads the shorter side with nulls, and `acc + null` poisons
   * the built-in sum) — equivalence is property-tested in
   * VecExpressionSpec.
+  *
+  * Documented divergence (ADVICE r05): on a vector with a NULL element
+  * FOLLOWED by a pair whose product/prefix-sum would overflow, this
+  * expression short-circuits to NULL at the null element, while the
+  * built-in `zip_with` materializes every product first and raises
+  * ARITHMETIC_OVERFLOW under ANSI. The equivalence contract therefore
+  * reads: bit-identical wherever no product/prefix-sum overflows; on
+  * overflow both forms error UNLESS a null precedes the overflowing pair,
+  * where the fused loop returns NULL (the built-in's answer on every
+  * non-overflow null input). Pinned by a VecExpressionSpec test.
   */
 case class LongVecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -62,15 +62,19 @@ object EntityIndexBuilder {
       .select(col("qid").as("e_qid"), posexplode(col("types")).as(Seq("t_pos", "tid")))
       .join(broadcast(typeInfo), Seq("tid"), "left")
       .withColumn("t_count", coalesce(col("t_count"), lit(0L)))
+    // last type = the non-null label with the lexicographic-max
+    // (t_count, t_pos) — exactly the last element of the r5
+    // sort_array(collect_list)+filter chain ((t_count, t_pos) is a total
+    // order within an entity: t_pos is the unique types-array position),
+    // but as ONE max_by aggregate: no per-entity list allocation, no
+    // per-row array sort (r6, guide §1.2 step 2). Dangling-only entities
+    // lose their rows to the null-label filter and resolve to NULL through
+    // the left join, as the empty-array try_element_at did.
     val resolved = exploded
+      .filter(col("t_label").isNotNull)
       .groupBy(col("e_qid"))
-      .agg(sort_array(collect_list(struct(col("t_count"), col("t_pos"), col("t_label"))))
-        .as("sorted"))
-      .withColumn(
-        "type_labels",
-        filter(transform(col("sorted"), s => s.getField("t_label")), x => x.isNotNull))
-      // try_element_at: ANSI-safe on empty arrays (all types dangling)
-      .select(col("e_qid"), try_element_at(col("type_labels"), lit(-1)).as("last_type"))
+      .agg(max_by(col("t_label"), struct(col("t_count"), col("t_pos")))
+        .as("last_type"))
     entities
       .join(resolved, entities("qid") === resolved("e_qid"), "left")
       .withColumn("info", coalesce(col("last_type"), col("desc")))
@@ -123,8 +127,16 @@ object EntityIndexBuilder {
     * materialize the result (e.g. the pipeline's stage write) can
     * `unpersist` them instead of leaking cached blocks until LRU pressure.
     */
-  def buildTracked(entities: DataFrame,
+  def buildTracked(entities0: DataFrame,
       cfg: EntityIndexConfig = EntityIndexConfig()): (DataFrame, Seq[DataFrame]) = {
+    // persist the INPUT dump once (r6, guide §5): the cascade reads it five
+    // times — type-id distinct, type-info join, type explode, the main row
+    // set, and the alias explode — which re-ran the upstream plan (a
+    // parquet scan in production, the synthesized dump in the bench) five
+    // times per build. The dump is the KG (entity-count–sized, ~GB at
+    // Wikidata scale — NOT the corpus), so caching it is the coarse-
+    // codebook-style contract; released with the other handles.
+    val entities = entities0.persist()
     val withInf = withInfo(entities, cfg)
     val uniq = uniqueAliases(entities)
 
@@ -212,11 +224,17 @@ object EntityIndexBuilder {
     val takenPlain = e1.select(col("surface"))
       .union(e3Plain.select(col("surface")))
     val takenPair = e34Info.select(col("surface"), col("info"))
+    // count/info are functionally dependent on qid (one cand row per
+    // entity), so grouping BY them instead of first()-aggregating them
+    // keeps the groups identical while turning the aggregate's buffer into
+    // a single long — a codegen'd HashAggregate with map-side combine
+    // instead of the r5 SortAggregate (string first() buffers are not
+    // hash-mutable) and its two sorts (r6, guide §2.4).
     val aliasCand = cand
       .select(col("qid"), col("count"), col("info"), explode(col("aliases")).as("alias"))
-      .groupBy(col("qid"), col("alias"))
-      .agg(first(col("count")).as("count"), first(col("info")).as("info"),
-        count(lit(1)).as("occ_n"))
+      .groupBy(col("qid"), col("alias"), col("count"), col("info"))
+      .agg(count(lit(1)).as("occ_n"))
+      .select(col("qid"), col("alias"), col("count"), col("info"), col("occ_n"))
       .persist()
     val wAlias = Window.partitionBy(col("alias"))
       .orderBy(col("count").desc, col("qid").asc)
@@ -249,6 +267,6 @@ object EntityIndexBuilder {
         col("qid").as("id"), lit(AliasInfo).as("kind"))
 
     (e1.union(e3Plain).union(e34Info).union(e5Plain).union(e5Info),
-      Seq(cand, e34, aliasCand, plainWinners))
+      Seq(cand, e34, aliasCand, plainWinners, entities))
   }
 }

@@ -95,8 +95,15 @@ object Curate {
     // dedup runs AFTER the gate: a low-quality doc must not be the
     // representative that evicts a high-quality near-duplicate
     val kept = df.join(scored.select(col(idCol)), Seq(idCol), "left_semi")
+    // the dedup corpus size for the maxDf rail is the gate-survivor count —
+    // counting the persisted `scored` table fills the quality cache (a scan
+    // the cluster phase was about to pay anyway) and replaces the extra
+    // corpus-scan count job `minhashNearDupsTracked` would otherwise run
+    // over the semi-join (VERDICT r05 #4). Equal by the dedup family's
+    // unique-id contract: one gate row per surviving document.
     val (clusters, _, handles) = Dedup.minhashClustersTracked(kept, idCol,
-      textCol, numHashes, bands, thresholdPct, maxBucket, maxDfFraction)
+      textCol, numHashes, bands, thresholdPct, maxBucket, maxDfFraction,
+      corpusRowsHint = Some(scored.count()))
     val dupes = clusters
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as(idCol))

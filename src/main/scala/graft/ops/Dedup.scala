@@ -83,8 +83,23 @@ object Dedup {
       array_min(transform(hashesCol, h => pmod(h * a + b, lit(P31))))
     })
 
-  /** MinHash signature of a token set (convenience composition). */
+  /** MinHash signature of a token set — the native codegen'd
+    * [[graft.functions.MinhashSigs]] (one fused pass: every token hashed
+    * once, all `numHashes` minima folded in a single loop). The built-in
+    * composition [[minhashSigBuiltin]] is the documented cross-engine
+    * semantics (what the DuckDB oracles mirror); equivalence is
+    * property-tested in SketchExpressionSpec.
+    */
   def minhashSig(tokensCol: Column, numHashes: Int): Column =
+    // null-array edge mirrors the built-in exactly: the HOF form's outer
+    // transform runs over sequence(0, n-1) (never null), so a NULL token
+    // array yields an array of n NULL slots, not NULL
+    when(tokensCol.isNull,
+      array((0 until numHashes).map(_ => lit(null).cast("long")): _*))
+      .otherwise(graft.functions.MinhashSigs.minhash_sigs(tokensCol, numHashes))
+
+  /** Built-in-only reference formulation of [[minhashSig]]. */
+  def minhashSigBuiltin(tokensCol: Column, numHashes: Int): Column =
     minhashSigFromHashes(tokenHashes(tokensCol), numHashes)
 
   /** Polynomial band hash over a signature slice — portable stand-in for
@@ -156,7 +171,7 @@ object Dedup {
   private def bandsOfToks(toks: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    toks.withColumn("sig", minhashSigFromHashes(tokenHashes(col("toks")), numHashes))
+    toks.withColumn("sig", minhashSig(col("toks"), numHashes))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => bandHash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bhash")))
@@ -257,8 +272,22 @@ object Dedup {
     * 1-votes outnumber half the tokens. The mod-P reduction before the parity
     * test is what scrambles the low bit (a bare affine parity would be
     * degenerate).
+    *
+    * Backed by the native codegen'd [[graft.functions.SimhashBitsExpr]]
+    * (every token hashed once, all 48 parities folded in one fused loop);
+    * [[simhashBitsBuiltin]] is the documented cross-engine semantics,
+    * equivalence property-tested in SketchExpressionSpec.
     */
-  def simhashBits(tokensCol: Column): Column = {
+  def simhashBits(tokensCol: Column): Column =
+    // null-array edge mirrors the built-in exactly: the HOF form's outer
+    // transform runs over sequence(0, 47) and every vote test on a NULL
+    // array lands in the otherwise(0) branch — an all-zero bit vector
+    when(tokensCol.isNull,
+      array((0 until SimhashBits).map(_ => lit(0)): _*))
+      .otherwise(graft.functions.SimhashBitsExpr.simhash_bits(tokensCol, SimhashBits))
+
+  /** Built-in-only reference formulation of [[simhashBits]]. */
+  def simhashBitsBuiltin(tokensCol: Column): Column = {
     val nToks = size(tokensCol)
     val hs = tokenHashes(tokensCol)
     transform(

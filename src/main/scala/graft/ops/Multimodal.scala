@@ -130,8 +130,17 @@ object Multimodal {
         val id = new String(bytes, i, 4, "US-ASCII")
         val size = le4(bytes, i + 4)
         val body = i + 8
+        // chunk-size validation (ADVICE r05): a corrupt/malicious negative
+        // size could leave `i` unchanged (size = -8/-9) and spin this walk
+        // forever on an executor, or walk backwards — fail loudly instead.
+        // `body + size` is computed in Long so a huge size can't overflow
+        // back into range.
+        require(size >= 0 && body.toLong + size.toLong <= bytes.length,
+          s"corrupt RIFF chunk '$id': size=$size at offset $i " +
+            s"(payload ${bytes.length} bytes)")
         id match {
           case "fmt " =>
+            require(size >= 16, s"truncated fmt chunk: size=$size")
             require(le2(bytes, body) == 1, "only PCM WAV supported")
             channels = le2(bytes, body + 2)
             require(channels >= 1, "PCM channel count must be >= 1")

@@ -139,12 +139,30 @@ object Similarity {
       .map { case (r, i) => ((i + 1).toLong, r.getSeq[Long](1).toArray) }
 
     def assign(maxRank: Int): DataFrame = {
-      val w = Window.partitionBy(col("id")).orderBy(col("ck").desc, col("cid").asc)
-      v.crossJoin(broadcast(centDf(cents).filter(col("s2") > 0)))
+      val scored = v.crossJoin(broadcast(centDf(cents).filter(col("s2") > 0)))
         .withColumn("ck", cosKey(qdot(col("q"), col("s")), col("n2"), col("s2")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= maxRank)
-        .select(col("id"), col("q"), col("n2"), col("cid"))
+      if (maxRank == 1) {
+        // nearest-1 as ONE hash aggregate instead of exchange + sort +
+        // window (guide §2.3 "aggregate before you shuffle" / §2.4): the
+        // map-side partial max_by collapses the nc candidate rows of each
+        // vector before the exchange, so the shuffle carries N rows, not
+        // N·nc, and no sort runs at all. Identical winner: (ck, -cid) is a
+        // total order within a group (cid distinct per id), so the
+        // lexicographic max IS row_number's top-1 under
+        // (ck desc, cid asc) — the r5 window shape. NaN/-0.0 follow the
+        // same Spark double ordering in both operators.
+        scored.groupBy(col("id"))
+          .agg(max_by(struct(col("q"), col("n2"), col("cid")),
+            struct(col("ck"), -col("cid"))).as("top"))
+          .select(col("id"), col("top.q").as("q"), col("top.n2").as("n2"),
+            col("top.cid").as("cid"))
+      } else {
+        val w = Window.partitionBy(col("id")).orderBy(col("ck").desc, col("cid").asc)
+        scored
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= maxRank)
+          .select(col("id"), col("q"), col("n2"), col("cid"))
+      }
     }
 
     for (_ <- 1 to lloydRounds) {
@@ -156,15 +174,26 @@ object Similarity {
       // keeps every component bounded by the data's own coordinate range, so
       // s2 ≤ dim·maxCoord² at ANY bucket size, while preserving the centroid
       // direction up to integer rounding (identical in engine and oracle).
-      val sums = assign(1)
-        .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x")).as("sm"), count(lit(1)).as("cnt"))
+      // PACKED per-centroid collect (VERDICT r05 #5): ONE
+      // ObjectHashAggregate with the custom [[graft.functions.VecSumCounts]]
+      // typed aggregate — element-wise sums + per-dimension counts packed
+      // per centroid on the executors (full map-side combine, no sort, no
+      // posexplode), so both the shuffle and the driver round-trip carry nc
+      // array rows instead of nc·dim per-dimension Rows — at the paper's
+      // ~100k clusters × 1k dims that is 10⁵ packed arrays vs 10⁸ Rows per
+      // Lloyd round. The truncated mean (sum div count, toward zero) is
+      // unchanged, computed per (cid, d) exactly as the r5 row shape did
+      // (equivalence property-tested in SketchExpressionSpec).
+      val packed = assign(1)
+        .groupBy(col("cid"))
+        .agg(graft.functions.VecSumCounts.vec_sum_counts(col("q")).as("sc"))
+        .select(col("cid"), col("sc.sums"), col("sc.counts"))
         .collect()
-      cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
-        val arr = rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / r.getLong(3)).toArray
-        (cid, arr)
-      }.sortBy(_._1)
+      cents = packed.map { r =>
+        val s = r.getSeq[Long](1)
+        val c = r.getSeq[Long](2)
+        (r.getLong(0), Array.tabulate(s.length)(i => s(i) / c(i)))
+      }.toSeq.sortBy(_._1)
     }
     assign
   }
@@ -186,11 +215,17 @@ object Similarity {
         col("a.cid") === col("b.cid") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("vec_id"), col("b.id").as("neighbor_id"))
       .distinct()
+    // join order matters (r6, guide §2.4 "share one exchange"): attaching
+    // the NEIGHBOR payload first and the vec_id payload LAST leaves the
+    // join output hash-partitioned by vec_id — exactly the clustering the
+    // top-k window needs, so the window adds no exchange of the widened
+    // candidate rows (the r5 order ended partitioned by neighbor_id and
+    // re-shuffled every (pair × q-array) row for the window).
     val ranked = cands
-      .join(v.select(col("id").as("vec_id"), col("q").as("qa"), col("n2").as("na2")),
-        Seq("vec_id"))
       .join(v.select(col("id").as("neighbor_id"), col("q").as("qb"), col("n2").as("nb2")),
         Seq("neighbor_id"))
+      .join(v.select(col("id").as("vec_id"), col("q").as("qa"), col("n2").as("na2")),
+        Seq("vec_id"))
       .withColumn("ck", cosKey(qdot(col("qa"), col("qb")), col("na2"), col("nb2")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ck").desc, col("neighbor_id").asc)
@@ -340,9 +375,15 @@ object Similarity {
     if (nOver > 0)
       log.info(s"semanticDedup: excluding $nOver overfull clusters " +
         s"($nRows vectors) from the pair phase at maxCluster=$maxCluster")
-    val sized = a.withColumn("csize",
-      count(lit(1)).over(Window.partitionBy(col("cid"))))
-    val eligible = sized.filter(col("csize") <= maxCluster)
+    // cluster-size rail via a BROADCAST semi-join on the ≤nc-row size table
+    // (√N rows by the codebook contract — always broadcastable) instead of
+    // the r5 count-window: the window forced an exchange + sort of the whole
+    // assignment by cid before the pair join; the semi-join streams the
+    // cached assignment with no exchange at all (guide §2.4 / §3.1).
+    val okClusters = a.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
+      .filter(col("csize") <= maxCluster)
+      .select(col("cid"))
+    val eligible = a.join(broadcast(okClusters), Seq("cid"), "left_semi")
     val dropped = eligible.as("x").join(eligible.as("y"),
         col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
       .withColumn("dot", qdot(col("x.q"), col("y.q")))

@@ -247,8 +247,12 @@ object TextAnalysis {
     val hist = df
       .select(col(domainCol).as("domain"), size(toks(col(textCol))).cast("long").as("n"))
       .groupBy("domain", "n").agg(count(lit(1)).as("c"))
+    // NULLS LAST matches the DuckDB oracle's default window order (ADVICE
+    // r05: Spark sorts NULLS FIRST on ASC, DuckDB NULLS LAST — a corpus
+    // with NULL text rows would shift every cumulative count); identical
+    // on null-free corpora.
     val cum = hist.withColumn("cum",
-      sum("c").over(Window.partitionBy("domain").orderBy("n")
+      sum("c").over(Window.partitionBy("domain").orderBy(col("n").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val totals = hist.groupBy("domain").agg(sum("c").as("n_docs"))
     cum.join(broadcast(totals), Seq("domain"))

@@ -210,8 +210,6 @@ object KgPipeline {
 
     val (entityIndexRaw, entityCaches) = EntityIndexBuilder.buildTracked(entities, cfg)
     val entityIndex = timed("entity_index", Nil) { entityIndexRaw }
-    // the stage is materialized — release the builder's cached intermediates
-    entityCaches.foreach(_.unpersist(blocking = false))
     val propertyIndex = timed("property_index", Nil) {
       PropertyIndexBuilder.build(properties)
     }
@@ -229,6 +227,12 @@ object KgPipeline {
       dictBroadcastMaxRows, dictRowsHint, s"ei=${chain("entity_index")};pi=${chain("property_index")}",
       (st, pr, pb) => f => timed(st, pr, pb)(f),
       maxRecordsPerFile, buckets)
+    // release the builder's caches only now (r6): the INPUT dump cache is
+    // among them, and the dictionary weights join above plus the nodes
+    // stage inside linkAndMaterialize each read the dump again — releasing
+    // right after the entity_index stage (the r5 shape) made those re-run
+    // the upstream dump plan. Every stage is committed by this point.
+    entityCaches.foreach(_.unpersist(blocking = false))
 
     import spark.implicits._
     val metrics = metricsRows.toSeq

@@ -509,6 +509,25 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.ops.Multimodal.WavCodec.decode(nonPcm)
     }
+
+    // corrupt chunk sizes must FAIL LOUDLY, never hang the walk (ADVICE
+    // r05: size = -8 left `i` unchanged and the loop spun forever) or walk
+    // backwards/out of bounds
+    for (bad <- Seq(-8, -9, -1, Int.MinValue, data.length + 1000)) {
+      val corrupt = wav.clone()
+      // overwrite the data chunk's size field (offset of "data" + 4)
+      val dataOff = wav.length - data.length - 8
+      le4(bad).copyToArray(corrupt, dataOff + 4)
+      intercept[IllegalArgumentException] {
+        graft.ops.Multimodal.WavCodec.decode(corrupt)
+      }
+    }
+    // truncated fmt chunk (size < 16) throws instead of reading past it
+    val shortFmt = wav.clone()
+    le4(8).copyToArray(shortFmt, 16) // fmt size field lives at offset 16
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.WavCodec.decode(shortFmt)
+    }
   }
 
   test("text analysis: quality/langid/token counts on crafted inputs") {

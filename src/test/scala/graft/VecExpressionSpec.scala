@@ -97,6 +97,22 @@ class VecExpressionSpec extends AnyFunSuite {
       .collect()(0)
     assert(mm.isNullAt(3) && mm.isNullAt(4), s"length mismatch must be NULL: $mm")
 
+    // documented divergence (ADVICE r05): a NULL element BEFORE an
+    // overflowing pair — the fused loop short-circuits to NULL while the
+    // built-in (which materializes every zip_with product first) raises
+    // ARITHMETIC_OVERFLOW; pin both behaviors so the scaladoc contract
+    // stays honest
+    val nullThenOvf = Seq((1L,
+      Array[java.lang.Long](null, big, big),
+      Array[java.lang.Long](1L, big, big)))
+      .toDF("id", "a", "b")
+    val fusedRow = nullThenOvf
+      .select(VecFunctions.long_vec_dot(col("a"), col("b"))).collect()(0)
+    assert(fusedRow.isNullAt(0), "fused loop: NULL before overflow -> NULL")
+    intercept[Exception] {
+      nullThenOvf.select(Similarity.qdotBuiltin(col("a"), col("b"))).collect()
+    }
+
     // null input -> null; SQL registration via the session extension name
     VecFunctions.register(spark)
     val nr = Seq((1L, Some(Array(1L, 2L)), None: Option[Array[Long]]))
