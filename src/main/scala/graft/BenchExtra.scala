@@ -72,13 +72,30 @@ object BenchExtra {
         spark.catalog.clearCache()
       }
       var best = Double.MaxValue
-      for (_ <- 1 to reps) {
+      for (rep <- 1 to reps) {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         if (sink == "noop")
           df.write.format("noop").mode("overwrite").save()
         else df.count()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // SPARK_GRAFT_PLANS_FINAL + PLANS_DIR: ALSO dump the post-execution
+        // plan (<query>.final.txt) — the AQE-final tree with ReusedExchange /
+        // AQEShuffleRead nodes that the pre-execution dump cannot show
+        // (guide §7.2: "the SQL tab shows the final re-optimised plan").
+        // The query's OWN QueryExecution must be driven to completion
+        // (count()/noop wrap the plan in a new one), so run its toRdd.
+        if (rep == 1 && sys.env.get("SPARK_GRAFT_PLANS_FINAL").contains("1"))
+          plansDir.foreach { dir =>
+            val qe = fn(spark, sfDir).queryExecution
+            qe.toRdd.count()
+            val txt = qe.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir).resolve(s"$name.final.txt"),
+              txt.getBytes("UTF-8"))
+            spark.catalog.clearCache()
+          }
         spark.catalog.clearCache()
       }
       name -> best

@@ -128,15 +128,26 @@ object EntityIndexBuilder {
     * `unpersist` them instead of leaking cached blocks until LRU pressure.
     */
   def buildTracked(entities0: DataFrame,
-      cfg: EntityIndexConfig = EntityIndexConfig()): (DataFrame, Seq[DataFrame]) = {
-    // persist the INPUT dump once (r6, guide §5): the cascade reads it five
-    // times — type-id distinct, type-info join, type explode, the main row
-    // set, and the alias explode — which re-ran the upstream plan (a
-    // parquet scan in production, the synthesized dump in the bench) five
-    // times per build. The dump is the KG (entity-count–sized, ~GB at
-    // Wikidata scale — NOT the corpus), so caching it is the coarse-
-    // codebook-style contract; released with the other handles.
-    val entities = entities0.persist()
+      cfg: EntityIndexConfig = EntityIndexConfig()): (DataFrame, Seq[DataFrame]) =
+    buildTracked(entities0, cfg, persistInput = !cfg.ignoreTypes)
+
+  /** @param persistInput cache the input dump for the duration of the build.
+    * Pays when the dump plan is expensive or read often: the non-ignoreTypes
+    * cascade reads it FIVE times (type-id distinct, type-info join, type
+    * explode, the main row set, the alias explode), and the pipeline's
+    * dictionary-weights join and nodes stage read it again, so
+    * [[graft.pipeline.KgPipeline.run]] forces `true`. Under `ignoreTypes`
+    * the dump is read exactly TWICE ([[withInfo]] degenerates to a pure
+    * projection), and for a columnar source two column-pruned scans are
+    * cheaper than one full-width cache materialization plus two cache reads
+    * (the persist-always r6 draft cost kg_entity_index ~15% at sf0.1) —
+    * hence the default `!cfg.ignoreTypes`. The dump is KG-sized (~GB at
+    * Wikidata scale — NOT the corpus), so caching it when it pays is the
+    * coarse-codebook-style contract; released with the other handles.
+    */
+  def buildTracked(entities0: DataFrame, cfg: EntityIndexConfig,
+      persistInput: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val entities = if (persistInput) entities0.persist() else entities0
     val withInf = withInfo(entities, cfg)
     val uniq = uniqueAliases(entities)
 

@@ -115,10 +115,12 @@ object Dedup {
     * oracle-checkable. Dropped-bucket volume is observable via
     * `countOverfullBuckets`.
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
+  private def capBuckets(banded: DataFrame, keys: Seq[String], maxBucket: Long,
+      counts: Option[DataFrame] = None): DataFrame =
     if (maxBucket == Long.MaxValue) banded
     else banded.join(
-      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+      counts.getOrElse(
+          banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn")))
         .filter(col("bn") <= maxBucket),
       keys, "left_semi")
 
@@ -190,9 +192,11 @@ object Dedup {
     * and [[minhashNearDupsTracked]] (persisted plans, evaluated once).
     */
   private def minhashPairsFrom(toks: DataFrame, bandedUncapped: DataFrame,
-      thresholdPct: Int, maxBucket: Long): DataFrame = {
+      thresholdPct: Int, maxBucket: Long,
+      bucketCounts: Option[DataFrame] = None): DataFrame = {
     // ids-only banding: the wide `toks` column does NOT ride the band shuffle
-    val banded = capBuckets(bandedUncapped, Seq("band", "bhash"), maxBucket)
+    val banded = capBuckets(bandedUncapped, Seq("band", "bhash"), maxBucket,
+      bucketCounts)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.id") < col("y.id"))
@@ -333,8 +337,9 @@ object Dedup {
 
   /** Cap + candidate join + Hamming verify over prepared banding rows. */
   private def simhashPairsFrom(bandedBits: DataFrame, maxHamming: Int,
-      maxBucket: Long): DataFrame = {
-    val banded = capBuckets(bandedBits, Seq("chunk", "ckey"), maxBucket)
+      maxBucket: Long, bucketCounts: Option[DataFrame] = None): DataFrame = {
+    val banded = capBuckets(bandedBits, Seq("chunk", "ckey"), maxBucket,
+      bucketCounts)
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.id") < col("y.id"))
@@ -399,12 +404,22 @@ object Dedup {
     val maxDf = math.max(100L, (corpus * maxDfFraction).toLong)
     val toks = cappedTokenSets(df, idCol, textCol, maxDf).persist()
     val banded = bandsOfToks(toks, numHashes, bands).persist()
-    // this ONE action evaluates the signature plan and fills BOTH caches
-    val (nb, nr) = countOverfullBuckets(banded, Seq("band", "bhash"), maxBucket)
+    // bucket counts aggregated ONCE over the cached banding (r6, guide
+    // §2.3): the drop-volume probe and the cap semi-join both need them —
+    // the earlier shape ran the (band, bhash) groupBy twice. The cache
+    // holds exactly the rows that aggregation produces anyway.
+    val counts = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("bn")).persist()
+    // this ONE action evaluates the signature plan and fills ALL caches
+    val over = counts.filter(col("bn") > maxBucket)
+      .agg(count(lit(1)).as("buckets"), coalesce(sum(col("bn")), lit(0L)).as("rows"))
+      .collect()(0)
+    val (nb, nr) = (over.getLong(0), over.getLong(1))
     if (nb > 0)
       log.info(s"minhashNearDups: dropping $nb overfull band buckets " +
         s"($nr rows) at maxBucket=$maxBucket, maxDf=$maxDf, corpus=$corpus")
-    (minhashPairsFrom(toks, banded, thresholdPct, maxBucket), Seq(toks, banded))
+    (minhashPairsFrom(toks, banded, thresholdPct, maxBucket, Some(counts)),
+      Seq(toks, banded, counts))
   }
 
   /** Capped-by-default SimHash near-dup entry point — see
@@ -422,10 +437,18 @@ object Dedup {
       maxHamming: Int = 3, chunks: Int = 4,
       maxBucket: Long = 1000L): (DataFrame, Seq[DataFrame]) = {
     val banded = simhashBandedBits(df, idCol, textCol, chunks).persist()
-    val (nb, nr) = countOverfullBuckets(banded, Seq("chunk", "ckey"), maxBucket)
+    // single bucket-counts aggregation shared by probe and cap — see
+    // [[minhashNearDupsTracked]]
+    val counts = banded.groupBy(col("chunk"), col("ckey"))
+      .agg(count(lit(1)).as("bn")).persist()
+    val over = counts.filter(col("bn") > maxBucket)
+      .agg(count(lit(1)).as("buckets"), coalesce(sum(col("bn")), lit(0L)).as("rows"))
+      .collect()(0)
+    val (nb, nr) = (over.getLong(0), over.getLong(1))
     if (nb > 0)
       log.info(s"simhashNearDups: dropping $nb overfull chunk buckets " +
         s"($nr rows) at maxBucket=$maxBucket")
-    (simhashPairsFrom(banded, maxHamming, maxBucket), Seq(banded))
+    (simhashPairsFrom(banded, maxHamming, maxBucket, Some(counts)),
+      Seq(banded, counts))
   }
 }

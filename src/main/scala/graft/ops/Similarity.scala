@@ -369,9 +369,19 @@ object Similarity {
     val nVec = v.count()
     val nc = if (nClusters > 0) nClusters else math.ceil(math.sqrt(nVec.toDouble)).toInt
     val a = lloydAssign(v, nc, lloydRounds)(1).persist()
-    // the one measurement action: fills a's cache (and v's beneath it) and
-    // logs what the cap will exclude from the pair phase
-    val (nOver, nRows) = Dedup.countOverfullBuckets(a, Seq("cid"), maxCluster)
+    // cluster sizes aggregated ONCE over the cached assignment (r6, guide
+    // §2.3): the cap probe and the size rail both need them — the earlier
+    // shape ran the full-assignment groupBy twice (once inside the probe
+    // action, once under the rail's semi-join). ≤nc rows by the codebook
+    // contract, so the cache is trivially small.
+    val sizes = a.groupBy(col("cid")).agg(count(lit(1)).as("csize")).persist()
+    // the one measurement action: fills the sizes cache (and a's and v's
+    // beneath it) and logs what the cap will exclude from the pair phase
+    val over = sizes.filter(col("csize") > maxCluster)
+      .agg(count(lit(1)).as("buckets"),
+        coalesce(sum(col("csize")), lit(0L)).as("rows"))
+      .collect()(0)
+    val (nOver, nRows) = (over.getLong(0), over.getLong(1))
     if (nOver > 0)
       log.info(s"semanticDedup: excluding $nOver overfull clusters " +
         s"($nRows vectors) from the pair phase at maxCluster=$maxCluster")
@@ -380,8 +390,7 @@ object Similarity {
     // the r5 count-window: the window forced an exchange + sort of the whole
     // assignment by cid before the pair join; the semi-join streams the
     // cached assignment with no exchange at all (guide §2.4 / §3.1).
-    val okClusters = a.groupBy(col("cid")).agg(count(lit(1)).as("csize"))
-      .filter(col("csize") <= maxCluster)
+    val okClusters = sizes.filter(col("csize") <= maxCluster)
       .select(col("cid"))
     val eligible = a.join(broadcast(okClusters), Seq("cid"), "left_semi")
     val dropped = eligible.as("x").join(eligible.as("y"),
@@ -396,7 +405,7 @@ object Similarity {
       .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cid").as("cluster"),
         when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
-    (out, Seq(a, v))
+    (out, Seq(a, v, sizes))
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity")

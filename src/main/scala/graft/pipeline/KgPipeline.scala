@@ -208,7 +208,11 @@ object KgPipeline {
       df
     }
 
-    val (entityIndexRaw, entityCaches) = EntityIndexBuilder.buildTracked(entities, cfg)
+    // persistInput forced: the pipeline reads the dump beyond the cascade
+    // (dictionary weights join + nodes stage), and its input is often a
+    // synthesized/derived plan, not a pruned columnar scan
+    val (entityIndexRaw, entityCaches) =
+      EntityIndexBuilder.buildTracked(entities, cfg, persistInput = true)
     val entityIndex = timed("entity_index", Nil) { entityIndexRaw }
     val propertyIndex = timed("property_index", Nil) {
       PropertyIndexBuilder.build(properties)

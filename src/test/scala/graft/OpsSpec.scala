@@ -303,7 +303,10 @@ class OpsSpec extends AnyFunSuite {
     assert(mhLeaves.nonEmpty && mhLeaves.forall(
       _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
       s"every leaf must read the cache:\n${mh.queryExecution.optimizedPlan}")
-    assert(mhCaches.size == 2 && mhCaches.forall(_.storageLevel.useMemory))
+    // three handles since r6: toks, banded, and the shared bucket-counts
+    // table (aggregated once for both the drop-volume probe and the cap
+    // semi-join)
+    assert(mhCaches.size == 3 && mhCaches.forall(_.storageLevel.useMemory))
     mhCaches.foreach(_.unpersist(blocking = true))
     assert(mhCaches.forall(!_.storageLevel.useMemory))
 
