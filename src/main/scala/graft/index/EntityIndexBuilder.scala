@@ -185,7 +185,15 @@ object EntityIndexBuilder {
     // max_by — ONE hash aggregate replaces the round-4 g_size/g_max window
     // + sort + row_number chain (two full window sorts over every E2 row;
     // profiled as the build's hottest stages at sf0.1).
+    // ONE label exchange shared by the group aggregate and the O1 window
+    // (r6, guide §2.4): hashpartitioning(label) satisfies the aggregate's
+    // (label, info) clustering AND the window's label partitioning, so the
+    // explicit repartition replaces TWO exchanges (one per operator) with
+    // one. The traded-away map-side combine buys little here: (label, info)
+    // groups are mostly singletons (collisions are the exception), so the
+    // partial aggregate barely shrank what the second exchange carried.
     val groups0 = e2
+      .repartition(col("label"))
       .groupBy(col("label"), col("info"))
       .agg(count(lit(1)).as("g_size"), max(col("count")).as("g_max"),
         max_by(struct(col("qid"), col("count"), col("override")),
