@@ -46,8 +46,14 @@ object BenchLC {
     val dictProps = 5000L
 
     def spanRun(w: Int): (Long, Double, Seq[Double]) = {
+      // SPARK_GRAFT_LC_MASTER_TPL: e.g. "local[%d]" to run the identical
+      // span single-JVM for A/B against the process-isolated shape (the
+      // placeholder receives workers*4 cores)
+      val master = sys.env.get("SPARK_GRAFT_LC_MASTER_TPL")
+        .map(_.format(w * 4))
+        .getOrElse(s"local-cluster[$w,4,$memMb]")
       val s = SparkSession.builder()
-        .master(s"local-cluster[$w,4,$memMb]")
+        .master(master)
         .appName(s"graft-lc-$w")
         // the master string's memMB is the WORKER's budget; the executor
         // JVM still sizes its heap from spark.executor.memory (default 1g),
@@ -61,6 +67,25 @@ object BenchLC {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
+      // SPARK_GRAFT_STAGELOG=1 → per-stage wall/task/shuffle log on stderr
+      // (the same headless stage table BenchExtra offers, guide §7.1)
+      if (sys.env.get("SPARK_GRAFT_STAGELOG").contains("1"))
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val wall = for {
+                a <- si.submissionTime; c <- si.completionTime
+              } yield c - a
+              val m = si.taskMetrics
+              System.err.println(
+                f"[stage] id=${si.stageId}%-4d wall=${wall.getOrElse(-1L)}%-6d " +
+                  f"tasks=${si.numTasks}%-3d exec=${m.executorRunTime}%-7d " +
+                  f"shw=${m.shuffleWriteMetrics.bytesWritten}%-10d " +
+                  f"shr=${m.shuffleReadMetrics.totalBytesRead}%-10d ${si.name.take(90)}")
+            }
+          })
       val ents = graft.synth.Synth.entityDump(s, dictEnts).persist()
       ents.count()
       val props = graft.synth.Synth.propertyDump(s, dictProps)
