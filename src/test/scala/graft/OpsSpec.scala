@@ -352,11 +352,18 @@ class OpsSpec extends AnyFunSuite {
     handles.foreach(_.unpersist(blocking = true))
 
     // the untracked wrapper releases its own caches (CC's probe/checkpoint
-    // has pinned the edge set by then)
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // has pinned the edge set by then). The release is unpersist(blocking =
+    // false) — ASYNC — so poll by rdd-id until the call's own additions are
+    // gone instead of comparing a racy global size snapshot (which also
+    // breaks under parallel suites sharing this session).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashClusters(corpus, "doc_id", "text", thresholdPct = 70).count()
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "minhashClusters must not leak its signature caches")
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val deadline = System.currentTimeMillis() + 30000
+    while (leaked.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"minhashClusters must not leak its signature caches: rdd ids $leaked")
   }
 
   test("clusters/curate: planted hot bucket stays bounded under the caps") {
