@@ -103,6 +103,53 @@ class EntityIndexSpec extends AnyFunSuite {
     assert(got.contains(IndexEntry("springfield", None, "Q5", 2)))
   }
 
+  test("r6 internals: input persist gated on fan-out; e34 shares one label exchange") {
+    import spark.implicits._
+    val dump = sample(genEntities, 7L).toDF()
+    // ignoreTypes reads the dump exactly twice (withInfo is a projection) —
+    // the build must NOT cache it (two pruned scans beat a full-width cache)
+    val (idx1, h1) = EntityIndexBuilder.buildTracked(
+      dump, EntityIndexConfig(ignoreTypes = true))
+    idx1.count()
+    assert(!dump.storageLevel.useMemory,
+      "ignoreTypes build must not cache the input dump")
+    h1.foreach(_.unpersist(blocking = true))
+    // the pipeline path forces the cache (dump read 5+ times) and the
+    // handles release it
+    val (idx2, h2) = EntityIndexBuilder.buildTracked(
+      dump, EntityIndexConfig(), persistInput = true)
+    idx2.count()
+    assert(dump.storageLevel.useMemory, "persistInput=true must cache the dump")
+    h2.foreach(_.unpersist(blocking = true))
+    assert(!dump.storageLevel.useMemory, "handles must release the dump cache")
+    // e34 (handles(1)) carries the shared-exchange shape: the group
+    // aggregate sits on an explicit label repartition (whose partitioning
+    // also satisfies the O1 window), so the logical plan has exactly ONE
+    // repartition and the optimizer plans no second exchange for the window
+    val (idx3, h3) = EntityIndexBuilder.buildTracked(
+      dump, EntityIndexConfig(ignoreTypes = true))
+    val e34 = h3(1)
+    // e34 is persisted, so the plan of interest is the one INSIDE its
+    // InMemoryRelation: exactly one hash exchange (the explicit label
+    // repartition), shared by the group aggregate and the O1 window
+    val cached = e34.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.getOrElse(fail(s"e34 must be cached:\n${e34.queryExecution.optimizedPlan}"))
+    // count only the exchanges of e34's OWN stage — the plan print expands
+    // the upstream cand cache's subtree below its InMemory* boundary
+    val ownStage = cached.split("\n").takeWhile(l =>
+      !l.contains("InMemoryTableScan") && !l.contains("InMemoryRelation"))
+    val exchanges = ownStage.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.length == 1,
+      s"e34 must plan exactly one hash exchange (shared by aggregate and window), got ${exchanges.length}:\n$cached")
+    assert(exchanges.head.contains("label") &&
+      exchanges.head.contains("REPARTITION_BY_COL"),
+      s"the one exchange must be the explicit label repartition:\n${exchanges.head}")
+    idx3.count()
+    h3.foreach(_.unpersist(blocking = true))
+  }
+
   test("E6 invariant: at most one primary (kind<=1) surface per entity") {
     for (seed <- 1L to 20L) {
       val rows = sample(genEntities, 7000 + seed)
